@@ -1,0 +1,88 @@
+"""Geometry ops vs reference semantics (tools.py:103-126, imageupsample.py, crop.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from xmm_superres_denoise_tpu.ops import (
+    crop,
+    crop_fractions,
+    pad_to_res,
+    preprocess,
+    unpad_from_res,
+    upsample_nearest,
+)
+
+
+def _torch_reshape_img_to_res(res, img):
+    # Reference pad arithmetic (data/tools.py:103-126), re-stated for cross-check.
+    y_diff = res - img.shape[1]
+    y_top = int(np.floor(y_diff / 2.0))
+    x_diff = res - img.shape[2]
+    x_left = int(np.floor(x_diff / 2.0))
+    return torch.nn.functional.pad(
+        img, (x_left, x_diff - x_left, y_top, y_diff - y_top, 0, 0)
+    )
+
+
+def test_pad_to_res_matches_reference():
+    img = np.random.default_rng(0).random((1, 411, 403)).astype(np.float32)
+    ours = np.asarray(pad_to_res(jnp.asarray(img), 416))
+    ref = _torch_reshape_img_to_res(416, torch.from_numpy(img)).numpy()
+    assert ours.shape == (1, 416, 416)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_pad_unpad_roundtrip():
+    img = np.random.default_rng(1).random((2, 411, 403)).astype(np.float32)
+    padded = pad_to_res(jnp.asarray(img), 416)
+    back = np.asarray(unpad_from_res(padded, (411, 403)))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_pad_2x_geometry():
+    img = jnp.zeros((1, 822, 806))
+    assert pad_to_res(img, 832).shape == (1, 832, 832)
+
+
+def test_upsample_conserves_flux():
+    img = np.random.default_rng(2).random((1, 10, 12)).astype(np.float32)
+    up = np.asarray(upsample_nearest(jnp.asarray(img), 2))
+    assert up.shape == (1, 20, 24)
+    np.testing.assert_allclose(up.sum(), img.sum(), rtol=1e-5)
+    # matches torch nn.Upsample(nearest)/4
+    ref = (
+        torch.nn.Upsample(scale_factor=2, mode="nearest")(
+            torch.from_numpy(img)[None]
+        ).numpy()[0]
+        / 4.0
+    )
+    np.testing.assert_allclose(up, ref, rtol=1e-6)
+
+
+def test_crop_center_and_boresight():
+    img = jnp.asarray(np.arange(411 * 403, dtype=np.float32).reshape(411, 403))
+    top_p, left_p = crop_fractions("center", 0.5)
+    out = crop(img, 0.5, top_p, left_p)
+    assert out.shape == (205, 201)
+    top_p, left_p = crop_fractions("boresight", 0.25)
+    out = crop(img, 0.25, top_p, left_p)
+    assert out.shape == (102, 100)
+    # boresight crop is centred on (y=224, x=244)
+    assert abs((int(0.25 * 411) // 2 + int((224 / 411 - 0.125) * 411)) - 224) <= 1
+
+
+def test_fused_preprocess():
+    img = np.random.default_rng(3).uniform(0, 0.005, (411, 403)).astype(np.float32)
+    mask = (np.random.default_rng(4).random((411, 403)) > 0.1).astype(np.float32)
+    out = preprocess(
+        jnp.asarray(img), jnp.asarray(mask), res=416, max_val=0.0022336, mode="sqrt"
+    )
+    assert out.shape == (416, 416)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    # manual chain
+    manual = np.clip(img * mask, 0, 0.0022336) / 0.0022336
+    manual = np.sqrt(manual)
+    manual_p = np.zeros((416, 416), np.float32)
+    manual_p[2:413, 6:409] = manual
+    np.testing.assert_allclose(np.asarray(out), manual_p, rtol=1e-5, atol=1e-6)

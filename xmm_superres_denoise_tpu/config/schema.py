@@ -1,0 +1,231 @@
+"""Pydantic config schema for the TPU-native framework.
+
+Mirrors the reference's validated config tree
+(`/root/reference/xmm_superres_denoise/config/config.py:24-237`) — dataset
+(sim/real/boring with lr/hr sub-configs), model (discriminated union on
+`base_model`), trainer, loss weights with the sum-in-(0,1] rule — and adds a
+TPU-specific `MeshCfg` section (device mesh axes for data/fsdp parallelism)
+replacing the reference's Lightning accelerator/strategy knobs.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from pathlib import Path
+from typing import List, Literal, Optional, Tuple, Union
+
+from pydantic import (
+    BaseModel,
+    Field,
+    NonNegativeFloat,
+    NonNegativeInt,
+    PositiveInt,
+    field_validator,
+    model_validator,
+)
+
+
+class ConfigError(Exception):
+    pass
+
+
+class DatasetType(str, Enum):
+    SIM = "sim"
+    REAL = "real"
+    BORING = "boring"
+
+
+class ImageType(str, Enum):
+    IMG = "img"
+    AGN = "agn"
+    BKG = "bkg"
+
+
+class BaseModels(str, Enum):
+    ESR_GEN = "esr_gen"
+    RRDB_DENOISE = "rrdb_denoise"
+    SWINIR = "swinir"  # extra vs reference enum; SwinIR ships in its model zoo
+    SWINFIR = "swinfir"
+    DRCT = "drct"
+    HAT = "hat"
+    RESTORMER = "restormer"
+
+
+def _empty_to_none(value):
+    if value == "" or value is None:
+        return None
+    return Path(value)
+
+
+class HrDatasetCfg(BaseModel):
+    det_mask: Optional[Path] = None
+    agn: bool = True
+    exp: NonNegativeInt
+    clamp_max: NonNegativeFloat
+    res: PositiveInt
+
+    _norm_mask = field_validator("det_mask", mode="before")(_empty_to_none)
+
+    @field_validator("det_mask")
+    @classmethod
+    def _mask_exists(cls, v):
+        if v is not None:
+            if not v.exists():
+                raise FileNotFoundError(f"Detector mask does not exist at '{v}'!")
+            if v.is_dir():
+                raise FileExistsError(f"Detector mask path is a directory: '{v}'")
+        return v
+
+
+class LrDatasetCfg(BaseModel):
+    bkg: Union[bool, NonNegativeInt] = 1
+    det_mask: Optional[Path] = None
+    exps: List[PositiveInt]
+    clamp_max: NonNegativeFloat
+    res: PositiveInt
+
+    _norm_mask = field_validator("det_mask", mode="before")(_empty_to_none)
+
+    @field_validator("det_mask")
+    @classmethod
+    def _mask_exists_lr(cls, v):
+        if v is not None:
+            if not v.exists():
+                raise FileNotFoundError(f"Detector mask does not exist at '{v}'!")
+            if v.is_dir():
+                raise FileExistsError(f"Detector mask path is a directory: '{v}'")
+        return v
+
+
+class DatasetCfg(BaseModel):
+    agn: Union[bool, NonNegativeInt] = 1
+    batch_size: PositiveInt = 1
+    check_files: bool = False
+    debug: bool = False
+    comb_hr: bool = False
+    crop_mode: Literal["center", "random", "boresight"] = "center"
+    directory: Path = Path("")
+    mode: Literal["img", "agn"] = "img"
+    name: str = "sim_dataset"
+    scaling: Literal["linear", "sqrt", "asinh", "log"] = "sqrt"
+    type: DatasetType = DatasetType.SIM
+    lr: LrDatasetCfg
+    hr: Optional[HrDatasetCfg] = None
+
+    @property
+    def res_mult(self) -> int:
+        if self.type is DatasetType.REAL:
+            return 1
+        return self.hr.res // self.lr.res
+
+    def _mode_dir(self, mode: ImageType) -> Path:
+        if self.type is DatasetType.SIM:
+            return self.directory / self.name / mode.value
+        if mode is ImageType.IMG and self.type is DatasetType.REAL:
+            return self.directory / self.name
+        raise ConfigError(
+            f"No {mode.value.upper()} directory for dataset type '{self.type.value}'"
+        )
+
+    @property
+    def img_dir(self) -> Path:
+        return self._mode_dir(ImageType.IMG)
+
+    @property
+    def agn_dir(self) -> Path:
+        return self._mode_dir(ImageType.AGN)
+
+    @property
+    def bkg_dir(self) -> Path:
+        return self._mode_dir(ImageType.BKG)
+
+
+class OptimizerCfg(BaseModel):
+    learning_rate: NonNegativeFloat
+    betas: Tuple[NonNegativeFloat, NonNegativeFloat] = (0.9, 0.999)
+
+
+class RrdbCfg(BaseModel):
+    base_model: Literal["esr_gen", "rrdb_denoise"]
+    in_channels: PositiveInt = 1
+    out_channels: PositiveInt = 1
+    filters: PositiveInt = 32
+    residual_blocks: PositiveInt = 4
+
+
+class TransformerCfg(BaseModel):
+    base_model: Literal["swinir", "swinfir", "drct", "hat"]
+    patch_size: PositiveInt = 1
+    img_size: PositiveInt = 416
+    window_size: PositiveInt = 16
+    embed_dim: PositiveInt = 180
+    upsampler: Literal["pixelshuffle", "pixelshuffledirect", "nearest+conv", ""] = (
+        "pixelshuffle"
+    )
+    in_channels: PositiveInt = 1
+    num_heads: List[PositiveInt]
+    depths: List[PositiveInt]
+
+
+class RestormerCfg(BaseModel):
+    base_model: Literal["restormer"]
+    in_channels: PositiveInt = 1
+    out_channels: PositiveInt = 1
+    dim: PositiveInt = 24
+
+
+class ModelCfg(BaseModel):
+    name: BaseModels
+    memory_efficient: bool = False
+    batch_size: PositiveInt = 1
+    model: Union[RrdbCfg, TransformerCfg, RestormerCfg] = Field(
+        ..., discriminator="base_model"
+    )
+    optimizer: OptimizerCfg
+
+
+class MeshCfg(BaseModel):
+    """Device-mesh topology — the TPU-native replacement for the reference's
+    Lightning `accelerator`/`strategy`/`devices` (config.py:206-219).
+
+    data  : data-parallel axis size ("auto" = all local devices)
+    fsdp  : parameter-sharding axis size (1 = replicated params, i.e. plain DP)
+    """
+
+    data: Union[PositiveInt, Literal["auto"]] = "auto"
+    fsdp: PositiveInt = 1
+    remat: bool = False  # activation rematerialization (FSDP ckpt equivalent)
+
+
+class TrainerCfg(BaseModel):
+    accelerator: Literal["auto", "cpu", "tpu"] = "auto"
+    mesh: MeshCfg = MeshCfg()
+    checkpoint_path: Optional[Path] = None
+    checkpoint_root: Optional[Path] = None
+    epochs: PositiveInt = 50
+    log_images_every_n_epochs: NonNegativeInt = 0
+    seed: int = 0
+    # Legacy reference keys accepted for config compatibility (train.py:141-155):
+    strategy: Literal["auto", "ddp", "fsdp"] = "auto"
+    devices: Union[PositiveInt, Literal["auto"]] = "auto"
+
+    _norm_ckpt = field_validator("checkpoint_path", "checkpoint_root", mode="before")(
+        _empty_to_none
+    )
+
+
+class LossCfg(BaseModel):
+    l1: float = Field(0.0, ge=0, le=1)
+    poisson: float = Field(0.0, ge=0, le=1)
+    psnr: float = Field(0.0, ge=0, le=1)
+    ssim: float = Field(0.0, ge=0, le=1)
+    ms_ssim: float = Field(0.0, ge=0, le=1)
+
+    @model_validator(mode="after")
+    def check_sum(self):
+        s = self.l1 + self.poisson + self.psnr + self.ssim + self.ms_ssim
+        if 0 < s <= 1:
+            return self
+        raise ConfigError(
+            f"Sum of relative percentages has to be between 0 and 1, got {s}!"
+        )

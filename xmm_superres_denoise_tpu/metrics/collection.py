@@ -1,0 +1,155 @@
+"""Accumulating metric collections as functional pytree state.
+
+Replaces torchmetrics stateful Metric objects (reference `metrics/metrics.py`,
+`xmm_metric_collection.py:114-143`) with an explicit (sums, counts) pytree:
+
+  * `init() -> state`, `update(state, preds, target) -> state` (jittable, runs
+    on device inside the eval step), `compute(state) -> {name: float}`.
+  * Cross-chip reduction is a `jax.lax.psum` over the state pytree inside
+    `shard_map` — the XLA-collective equivalent of torchmetrics'
+    `dist_reduce_fx="sum"` states (metrics.py:16-21).
+
+Accumulation semantics mirror each torchmetrics reduction:
+  psnr      : (sum_squared_error, n_elements)       -> 10*log10(r^2/(sse/n))
+  ssim      : (sum of per-image ssim, n_images)
+  ms_ssim   : (sum of per-image ms-ssim, n_images)
+  l1/l2     : (sum of abs/sq error, n_elements)
+  poisson   : (sum of batch means, n_batches)  — the reference's custom
+              `_Metric` accumulates batch means and divides by the number of
+              images, reproduced as-is (metrics.py:30-39).
+
+`XMMMetricCollection` semantics: before each update, preds/target are
+de-stretched with the dataset normalizer's bare destretch and re-stretched per
+scaling normalizer (xmm_metric_collection.py:135-143); metrics are logged as
+`{prefix}/{stretch}/{metric}`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.ssim import ms_ssim_per_image, ssim_per_image
+from ..ops.stretch import Normalizer
+
+Array = jnp.ndarray
+State = Dict[str, Tuple[Array, Array]]
+
+CORE_METRIC_NAMES = ("psnr", "ssim", "ms_ssim", "l1", "l2", "poisson")
+
+
+def _upd_psnr(p: Array, t: Array) -> Tuple[Array, Array]:
+    return jnp.sum(jnp.square(p - t)), jnp.asarray(p.size, jnp.float32)
+
+
+def _upd_ssim(p: Array, t: Array) -> Tuple[Array, Array]:
+    return jnp.sum(ssim_per_image(p, t)), jnp.asarray(p.shape[0], jnp.float32)
+
+
+def _upd_ms_ssim(p: Array, t: Array) -> Tuple[Array, Array]:
+    return jnp.sum(ms_ssim_per_image(p, t)), jnp.asarray(p.shape[0], jnp.float32)
+
+
+def _upd_l1(p: Array, t: Array) -> Tuple[Array, Array]:
+    return jnp.sum(jnp.abs(p - t)), jnp.asarray(p.size, jnp.float32)
+
+
+def _upd_l2(p: Array, t: Array) -> Tuple[Array, Array]:
+    return jnp.sum(jnp.square(p - t)), jnp.asarray(p.size, jnp.float32)
+
+
+def _upd_poisson(p: Array, t: Array) -> Tuple[Array, Array]:
+    val = jnp.mean(p - t * jnp.log(p + 1e-8))
+    return val, jnp.asarray(1.0, jnp.float32)
+
+
+_UPDATES: Dict[str, Callable[[Array, Array], Tuple[Array, Array]]] = {
+    "psnr": _upd_psnr,
+    "ssim": _upd_ssim,
+    "ms_ssim": _upd_ms_ssim,
+    "l1": _upd_l1,
+    "l2": _upd_l2,
+    "poisson": _upd_poisson,
+}
+
+
+def _compute_one(name: str, s: Array, n: Array, data_range: float = 1.0) -> Array:
+    if name.split("/")[-1] == "psnr":
+        return 10.0 * jnp.log10(data_range**2 / (s / n))
+    return s / n
+
+
+class MetricBank:
+    """A named set of accumulating metrics with functional state."""
+
+    def __init__(self, names: Sequence[str] = CORE_METRIC_NAMES):
+        unknown = [n for n in names if n.split("/")[-1] not in _UPDATES]
+        if unknown:
+            raise ValueError(f"Unknown metrics: {unknown}")
+        self.names = tuple(names)
+
+    def init(self) -> State:
+        z = jnp.zeros((), jnp.float32)
+        return {n: (z, z) for n in self.names}
+
+    def update(self, state: State, preds: Array, target: Array) -> State:
+        out = {}
+        for n in self.names:
+            ds, dn = _UPDATES[n.split("/")[-1]](preds, target)
+            s, c = state[n]
+            out[n] = (s + ds, c + dn)
+        return out
+
+    def compute(self, state: State) -> Dict[str, Array]:
+        return {n: _compute_one(n, *state[n]) for n in self.names}
+
+
+class XMMMetricCollection:
+    """Per-stretch-mode metric evaluation (xmm_metric_collection.py:114-143).
+
+    For each scaling normalizer: destretch preds/target with the dataset
+    normalizer's inverse stretch, re-stretch with the scaling normalizer's
+    stretch, then update a cloned MetricBank. Keys follow the reference's
+    `{prefix}/{stretch_mode}/{metric}` layout.
+    """
+
+    def __init__(
+        self,
+        dataset_normalizer: Normalizer,
+        scaling_normalizers: Sequence[Normalizer],
+        prefix: str,
+        metric_names: Sequence[str] = CORE_METRIC_NAMES,
+        input_baseline: bool = False,
+    ):
+        self.dataset_normalizer = dataset_normalizer
+        self.scaling_normalizers = list(scaling_normalizers)
+        base = "in/" if input_baseline else ""
+        self.prefix = prefix
+        self.banks = {
+            nz.mode: MetricBank(
+                [f"{prefix}/{nz.mode}/{base}{m}" for m in metric_names]
+            )
+            for nz in self.scaling_normalizers
+        }
+
+    def init(self) -> Dict[str, State]:
+        return {mode: bank.init() for mode, bank in self.banks.items()}
+
+    def update(
+        self, state: Dict[str, State], preds: Array, target: Array
+    ) -> Dict[str, State]:
+        preds = self.dataset_normalizer.destretch_only(preds)
+        target = self.dataset_normalizer.destretch_only(target)
+        out = {}
+        for nz in self.scaling_normalizers:
+            p = nz.stretch_only(preds)
+            t = nz.stretch_only(target)
+            out[nz.mode] = self.banks[nz.mode].update(state[nz.mode], p, t)
+        return out
+
+    def compute(self, state: Dict[str, State]) -> Dict[str, Array]:
+        out: Dict[str, Array] = {}
+        for mode, bank in self.banks.items():
+            out.update(bank.compute(state[mode]))
+        return out
