@@ -4,16 +4,20 @@ Multi-chip TPU hardware is not available in CI; sharding/collective tests run
 on XLA's host-platform device virtualization instead (the idiomatic JAX
 replacement for the reference's untested Lightning DDP/FSDP switches —
 SURVEY.md §4 item 8).
+
+jax is already imported by the time conftest runs (site hooks), so the env
+vars alone are too late — use jax.config.update, which works any time before
+backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -39,32 +39,44 @@ State = Dict[str, Tuple[Array, Array]]
 CORE_METRIC_NAMES = ("psnr", "ssim", "ms_ssim", "l1", "l2", "poisson")
 
 
-def _upd_psnr(p: Array, t: Array) -> Tuple[Array, Array]:
-    return jnp.sum(jnp.square(p - t)), jnp.asarray(p.size, jnp.float32)
+def _per_image_sum(x: Array) -> Array:
+    return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
 
 
-def _upd_ssim(p: Array, t: Array) -> Tuple[Array, Array]:
-    return jnp.sum(ssim_per_image(p, t)), jnp.asarray(p.shape[0], jnp.float32)
+def _upd_psnr(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    per_img = _per_image_sum(jnp.square(p - t))
+    n_per = p.size / p.shape[0]
+    return jnp.sum(w * per_img), jnp.sum(w) * n_per
 
 
-def _upd_ms_ssim(p: Array, t: Array) -> Tuple[Array, Array]:
-    return jnp.sum(ms_ssim_per_image(p, t)), jnp.asarray(p.shape[0], jnp.float32)
+def _upd_ssim(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    return jnp.sum(w * ssim_per_image(p, t)), jnp.sum(w)
 
 
-def _upd_l1(p: Array, t: Array) -> Tuple[Array, Array]:
-    return jnp.sum(jnp.abs(p - t)), jnp.asarray(p.size, jnp.float32)
+def _upd_ms_ssim(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    return jnp.sum(w * ms_ssim_per_image(p, t)), jnp.sum(w)
 
 
-def _upd_l2(p: Array, t: Array) -> Tuple[Array, Array]:
-    return jnp.sum(jnp.square(p - t)), jnp.asarray(p.size, jnp.float32)
+def _upd_l1(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    per_img = _per_image_sum(jnp.abs(p - t))
+    return jnp.sum(w * per_img), jnp.sum(w) * (p.size / p.shape[0])
 
 
-def _upd_poisson(p: Array, t: Array) -> Tuple[Array, Array]:
-    val = jnp.mean(p - t * jnp.log(p + 1e-8))
-    return val, jnp.asarray(1.0, jnp.float32)
+def _upd_l2(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    per_img = _per_image_sum(jnp.square(p - t))
+    return jnp.sum(w * per_img), jnp.sum(w) * (p.size / p.shape[0])
 
 
-_UPDATES: Dict[str, Callable[[Array, Array], Tuple[Array, Array]]] = {
+def _upd_poisson(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+    per_img = jnp.mean(
+        (p - t * jnp.log(p + 1e-8)).reshape(p.shape[0], -1), axis=-1
+    )
+    # Reference accumulates batch means / batch sizes (metrics.py:30-39);
+    # the weighted per-image form reduces to that for full batches.
+    return jnp.sum(w * per_img) / jnp.maximum(jnp.sum(w), 1.0), jnp.sum(w)
+
+
+_UPDATES: Dict[str, Callable[[Array, Array, Array], Tuple[Array, Array]]] = {
     "psnr": _upd_psnr,
     "ssim": _upd_ssim,
     "ms_ssim": _upd_ms_ssim,
@@ -93,10 +105,20 @@ class MetricBank:
         z = jnp.zeros((), jnp.float32)
         return {n: (z, z) for n in self.names}
 
-    def update(self, state: State, preds: Array, target: Array) -> State:
+    def update(
+        self,
+        state: State,
+        preds: Array,
+        target: Array,
+        weights: Array | None = None,
+    ) -> State:
+        """Accumulate one batch. `weights` is an optional per-sample (B,)
+        weight vector (0 for padded samples under data-parallel padding)."""
+        if weights is None:
+            weights = jnp.ones((preds.shape[0],), jnp.float32)
         out = {}
         for n in self.names:
-            ds, dn = _UPDATES[n.split("/")[-1]](preds, target)
+            ds, dn = _UPDATES[n.split("/")[-1]](preds, target, weights)
             s, c = state[n]
             out[n] = (s + ds, c + dn)
         return out
@@ -137,7 +159,11 @@ class XMMMetricCollection:
         return {mode: bank.init() for mode, bank in self.banks.items()}
 
     def update(
-        self, state: Dict[str, State], preds: Array, target: Array
+        self,
+        state: Dict[str, State],
+        preds: Array,
+        target: Array,
+        weights: Array | None = None,
     ) -> Dict[str, State]:
         preds = self.dataset_normalizer.destretch_only(preds)
         target = self.dataset_normalizer.destretch_only(target)
@@ -145,7 +171,7 @@ class XMMMetricCollection:
         for nz in self.scaling_normalizers:
             p = nz.stretch_only(preds)
             t = nz.stretch_only(target)
-            out[nz.mode] = self.banks[nz.mode].update(state[nz.mode], p, t)
+            out[nz.mode] = self.banks[nz.mode].update(state[nz.mode], p, t, weights)
         return out
 
     def compute(self, state: Dict[str, State]) -> Dict[str, Array]:

@@ -41,17 +41,23 @@ def gaussian_kernel_1d(kernel_size: int = 13, sigma: float = 2.5) -> np.ndarray:
 
 
 def _depthwise_blur(x: Array, taps: Array) -> Array:
-    """Separable depthwise Gaussian filter, VALID padding. x: (N, H, W, C)."""
+    """Separable depthwise Gaussian filter, VALID padding. x: (N, H, W, C).
+
+    Uses HIGHEST precision: metric fidelity must hold on TPU, where f32 convs
+    otherwise run through the MXU at reduced (bf16-accumulated) precision.
+    """
     c = x.shape[-1]
     k = taps.shape[0]
     kh = jnp.tile(taps.reshape(k, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1 (depthwise)
     kw = jnp.tile(taps.reshape(1, k, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x
 

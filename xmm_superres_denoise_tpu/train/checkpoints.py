@@ -1,0 +1,107 @@
+"""Orbax checkpointing with best-val/loss tracking and resume.
+
+Replaces Lightning's ModelCheckpoint/resume machinery
+(`/root/reference/train.py:133-139,157-171`): checkpoints are orbax pytrees
+of the full TrainState plus metadata; the manager keeps the best checkpoint
+by minimum `val/loss` (the reference's monitor, train.py:134-136) alongside
+the latest for resume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, root: Path, max_to_keep: int = 3):
+        self.root = Path(root).resolve()
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.root / "ckpts",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=lambda m: m["val_loss"],
+                best_mode="min",
+            ),
+        )
+        self._meta_path = self.root / "best.json"
+
+    def save(self, step: int, state: Any, val_loss: float) -> None:
+        self._mngr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={"val_loss": float(val_loss)},
+        )
+        self._mngr.wait_until_finished()
+        best = self.best_metadata() or {"val_loss": float("inf")}
+        if float(val_loss) <= best["val_loss"]:
+            self._meta_path.write_text(
+                json.dumps({"step": int(step), "val_loss": float(val_loss)})
+            )
+
+    def best_metadata(self) -> Optional[dict]:
+        if self._meta_path.exists():
+            return json.loads(self._meta_path.read_text())
+        return None
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, int]:
+        """Restore `step` (or the latest) into the template's structure."""
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self.root}")
+        restored = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+        return restored, int(step)
+
+    def restore_best(self, state_template: Any) -> Tuple[Any, int]:
+        meta = self.best_metadata()
+        step = self._mngr.best_step() if meta is None else meta["step"]
+        if step is None:
+            raise FileNotFoundError(f"No best checkpoint under {self.root}")
+        return self.restore(state_template, step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def close(self):
+        self._mngr.close()
+
+
+def save_params_npz(path: Path, params: Any) -> None:
+    """Flat .npz export of a parameter pytree (portable deployment format,
+    filling the role of the reference's shipped ONNX weight files)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for keypath, leaf in flat:
+        name = "/".join(
+            getattr(k, "key", getattr(k, "idx", str(k))) for k in keypath
+        )
+        out[name] = np.asarray(leaf)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **out)
+
+
+def load_params_npz(path: Path, params_template: Any) -> Any:
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves = []
+    for keypath, leaf in flat:
+        name = "/".join(
+            getattr(k, "key", getattr(k, "idx", str(k))) for k in keypath
+        )
+        arr = data[name]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{name}: shape {arr.shape} != template {leaf.shape}")
+        leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template), leaves
+    )

@@ -1,0 +1,235 @@
+"""Fit/test orchestration: the shard_map data-parallel JAX trainer.
+
+Replaces the Lightning Trainer + Model wrapper
+(`/root/reference/xmm_superres_denoise/train.py:104-171`,
+`models/model.py:48-151`) with an explicit loop:
+
+  epoch:
+    train: jitted shard_map step per batch (grads pmean'd over `data`)
+    val:   jitted eval step accumulating loss + XMMMetricCollection state
+           on-device (psum-reduced), computed/logged at epoch end
+    ckpt:  orbax save, best tracked on val/loss (min)
+  test:  same eval path with extended + input-baseline collections; input
+         metrics computed once (model.py:132-142).
+
+Model output clamping to [0,1] lives in the apply wrapper (model.py:48-49).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import ModelCfg, TrainerCfg
+from ..data.datamodule import XmmDataModule
+from ..metrics.collection import XMMMetricCollection
+from ..models.registry import build_model
+from ..ops.stretch import Normalizer
+from ..parallel.mesh import make_mesh, replicate
+from .checkpoints import CheckpointManager
+from .loss import LossFn
+from .steps import TrainState, make_eval_step, make_train_step
+
+log = logging.getLogger("xmmsr")
+
+
+def clamped_apply(model, params, x):
+    """forward = clamp(model(x), 0, 1) (reference model.py:48-49)."""
+    return jnp.clip(model.apply(params, x), 0.0, 1.0)
+
+
+@dataclass
+class FitResult:
+    best_val_loss: float
+    best_step: int
+    history: List[Dict[str, float]] = field(default_factory=list)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_config: ModelCfg,
+        trainer_config: TrainerCfg,
+        datamodule: XmmDataModule,
+        loss_fn: LossFn,
+        scaling_normalizers: Optional[List[Normalizer]] = None,
+        mesh=None,
+        metric_names=None,
+    ):
+        self.model_config = model_config
+        self.trainer_config = trainer_config
+        self.metric_names = metric_names  # None -> CORE_METRIC_NAMES
+        self.dm = datamodule
+        self.loss_fn = loss_fn
+        cfg = datamodule.config
+        self.lr_shape = (cfg.lr.res, cfg.lr.res)
+        hr_res = cfg.hr.res if cfg.hr else cfg.lr.res
+        self.hr_shape = (hr_res, hr_res)
+        self.scale = self.hr_shape[0] // self.lr_shape[0]
+
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=trainer_config.mesh.data, fsdp=trainer_config.mesh.fsdp
+        )
+
+        self.model = build_model(model_config, self.lr_shape, self.hr_shape)
+        self.tx = optax.adam(
+            learning_rate=model_config.optimizer.learning_rate,
+            b1=model_config.optimizer.betas[0],
+            b2=model_config.optimizer.betas[1],
+        )
+
+        self.scaling_normalizers = scaling_normalizers or [
+            Normalizer(
+                lr_max=cfg.lr.clamp_max,
+                hr_max=cfg.hr.clamp_max if cfg.hr else cfg.lr.clamp_max,
+                mode="linear",
+            )
+        ]
+
+        ckpt_root = trainer_config.checkpoint_root or Path("checkpoints")
+        self.ckpt = CheckpointManager(Path(ckpt_root) / model_config.name.value)
+
+        self._apply = lambda params, x: clamped_apply(self.model, params, x)
+        self._train_step = make_train_step(
+            self._apply, self.loss_fn, self.tx, self.mesh
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        x = jnp.zeros((1, *self.lr_shape, self.model_config.model.in_channels))
+        params = self.model.init(jax.random.PRNGKey(seed), x)
+        state = TrainState.create(params, self.tx)
+        return replicate(self.mesh, state)
+
+    def _make_collections(self, prefix: str, extended: bool):
+        from ..metrics.collection import CORE_METRIC_NAMES
+
+        names = self.metric_names or CORE_METRIC_NAMES
+        core = XMMMetricCollection(
+            self.dm.normalizer, self.scaling_normalizers, prefix=prefix,
+            metric_names=names,
+        )
+        in_core = XMMMetricCollection(
+            self.dm.normalizer,
+            self.scaling_normalizers,
+            prefix=prefix,
+            metric_names=names,
+            input_baseline=True,
+        )
+        colls = {"metrics": core, "in:metrics": in_core}
+        if extended:
+            from ..metrics.extended import EXT_METRIC_NAMES
+
+            colls["ext"] = XMMMetricCollection(
+                self.dm.normalizer,
+                self.scaling_normalizers,
+                prefix=prefix,
+                metric_names=EXT_METRIC_NAMES,
+            )
+            colls["in:ext"] = XMMMetricCollection(
+                self.dm.normalizer,
+                self.scaling_normalizers,
+                prefix=prefix,
+                metric_names=EXT_METRIC_NAMES,
+                input_baseline=True,
+            )
+        return colls
+
+    def _run_eval(
+        self, params, split: str, prefix: str, extended: bool = False,
+        include_input_metrics: bool = True,
+    ) -> Dict[str, float]:
+        colls = self._make_collections(prefix, extended)
+        if not include_input_metrics:
+            colls = {k: v for k, v in colls.items() if not k.startswith("in:")}
+        updaters = {k: v.update for k, v in colls.items()}
+        eval_step = make_eval_step(
+            lambda x: self._apply(params, x),
+            self.loss_fn,
+            self.mesh,
+            metric_updaters=updaters,
+            upsample_input=self.scale,
+        )
+        states = {k: replicate(self.mesh, v.init()) for k, v in colls.items()}
+        loss_sum = jnp.zeros(())
+        n = jnp.zeros(())
+        for batch in self.dm.loader(split, mesh=self.mesh):
+            states, dl, dn = eval_step(states, batch)
+            loss_sum = loss_sum + dl
+            n = n + dn
+        out = {f"{prefix}/loss": float(loss_sum / jnp.maximum(n, 1.0))}
+        for key, coll in colls.items():
+            for name, val in coll.compute(states[key]).items():
+                out[name] = float(val)
+        return out
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, seed: int = 0, resume: bool = False) -> FitResult:
+        state = self.init_state(seed)
+        start_epoch = 0
+        if resume and self.ckpt.latest_step() is not None:
+            state, step = self.ckpt.restore(jax.device_get(state))
+            state = replicate(self.mesh, state)
+            start_epoch = int(step)
+            log.info("Resumed from checkpoint at epoch %d", start_epoch)
+
+        epochs = self.trainer_config.epochs
+        result = FitResult(best_val_loss=float("inf"), best_step=-1)
+        input_metrics_pending = True
+
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in self.dm.loader("train", mesh=self.mesh, epoch=epoch):
+                state, loss = self._train_step(state, batch)
+                train_losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(train_losses))) if train_losses else float("nan")
+
+            val_logs = self._run_eval(
+                state.params,
+                "val",
+                "val",
+                include_input_metrics=input_metrics_pending,
+            )
+            input_metrics_pending = False  # one-shot (model.py:132-142)
+            val_loss = val_logs["val/loss"]
+
+            self.ckpt.save(epoch + 1, jax.device_get(state), val_loss)
+            if val_loss < result.best_val_loss:
+                result.best_val_loss = val_loss
+                result.best_step = epoch + 1
+
+            entry = {"epoch": epoch, "train/loss": train_loss, **val_logs,
+                     "time_s": time.time() - t0}
+            result.history.append(entry)
+            log.info(
+                "epoch %d: train/loss=%.5f val/loss=%.5f (%.1fs)",
+                epoch, train_loss, val_loss, entry["time_s"],
+            )
+        return result
+
+    def test(
+        self,
+        state: Optional[TrainState] = None,
+        from_best: bool = True,
+        extended: bool = True,
+    ) -> Dict[str, float]:
+        if state is None:
+            template = jax.device_get(self.init_state())
+            state, _ = (
+                self.ckpt.restore_best(template)
+                if from_best
+                else self.ckpt.restore(template)
+            )
+            state = replicate(self.mesh, state)
+        return self._run_eval(state.params, "test", "test", extended=extended)

@@ -1,0 +1,181 @@
+"""Jitted train/eval step factories: shard_map data-parallel over a mesh.
+
+The TPU-native core of the harness, replacing the reference's Lightning
+training_step/validation_step + DDP/FSDP machinery
+(`/root/reference/xmm_superres_denoise/models/model.py:51-151`,
+`train.py:141-155`):
+
+  * Train step: `shard_map` over the `data` mesh axis — each shard computes
+    loss+grads on its local batch slice, grads/loss are `lax.pmean`-reduced
+    over ICI (the XLA-collective equivalent of NCCL all-reduce), and the
+    optax update runs identically on every device, keeping params replicated.
+  * Optional FSDP axis: parameters sharded over `fsdp` via NamedSharding
+    out-shardings; XLA's SPMD partitioner inserts the all-gathers and
+    reduce-scatters (the GSPMD idiom replacing torch FSDP wrapping).
+  * Eval step: per-shard forward + weighted metric/loss accumulation with
+    `lax.psum`-reduced state deltas (torchmetrics `dist_reduce_fx="sum"`
+    equivalent, metrics.py:16-21), so accumulated state stays replicated.
+
+Batches are dicts {"lr": (B,H,W,C), "hr": (B,H',W',C), "weight": (B,)} with B
+divisible by the data-axis size (the loader pads; `weight`=0 marks padding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..parallel.mesh import DATA_AXIS
+
+Array = jnp.ndarray
+Batch = Dict[str, Array]
+
+
+class TrainState(NamedTuple):
+    """Minimal functional train state (params + optimizer state + step)."""
+
+    step: Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def make_train_step(
+    apply_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array, Array], Array],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """Build the jitted data-parallel train step.
+
+    apply_fn(params, lr_batch) -> preds (already clamped by the model).
+    Per-shard loss is the loss over the local slice; grads are pmean'd so the
+    update equals Lightning-DDP's mean-of-shard-gradients semantics.
+    """
+
+    def _shard_step(state: TrainState, lr: Array, hr: Array) -> Tuple[TrainState, Array]:
+        def loss_of(p):
+            preds = apply_fn(p, lr)
+            return loss_fn(preds, hr)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        grads = lax.pmean(grads, DATA_AXIS)
+        loss = lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), loss
+
+    sharded = shard_map(
+        _shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Array]:
+        return sharded(state, batch["lr"], batch["hr"])
+
+    return train_step
+
+
+def make_eval_step(
+    apply_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array, Array], Array],
+    mesh: Mesh,
+    metric_updaters: Optional[
+        Dict[str, Callable[[Any, Array, Array, Array], Any]]
+    ] = None,
+    upsample_input: int = 1,
+):
+    """Build the jitted eval step.
+
+    `metric_updaters` maps state-key -> update(state, preds_or_lr, target, w).
+    The special key prefix "in:" receives the (upsampled) INPUT instead of the
+    prediction — the reference's input-baseline metrics (model.py:90-105).
+    Returns (new_states, loss_sum_delta, weight_sum_delta).
+    """
+    metric_updaters = metric_updaters or {}
+
+    def _shard_eval(states, lr, hr, w):
+        preds = apply_fn(lr)
+        target = hr
+        loss_delta = loss_fn(preds, target) * jnp.sum(w)
+        loss_delta = lax.psum(loss_delta, DATA_AXIS)
+        n_delta = lax.psum(jnp.sum(w), DATA_AXIS)
+
+        lr_up = lr
+        if upsample_input != 1:
+            from ..ops.preprocess import upsample_nearest
+
+            lr_up = upsample_nearest(
+                lr.transpose(0, 3, 1, 2), upsample_input
+            ).transpose(0, 2, 3, 1)
+
+        new_states = {}
+        for key, update in metric_updaters.items():
+            src = lr_up if key.startswith("in:") else preds
+            st = states[key]
+            new = update(st, src, target, w)
+            # psum the delta so replicated state stays identical on all shards
+            delta = jax.tree_util.tree_map(lambda a, b: b - a, st, new)
+            delta = lax.psum(delta, DATA_AXIS)
+            new_states[key] = jax.tree_util.tree_map(
+                lambda a, d: a + d, st, delta
+            )
+        return new_states, loss_delta, n_delta
+
+    sharded = shard_map(
+        _shard_eval,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+
+    @jax.jit
+    def eval_step(states, batch: Batch):
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
+        return sharded(states, batch["lr"], batch["hr"], w)
+
+    return eval_step
+
+
+def make_fsdp_train_step(
+    apply_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array, Array], Array],
+    tx: optax.GradientTransformation,
+):
+    """GSPMD (jit + NamedSharding propagation) train step for FSDP-style runs.
+
+    The XLA-partitioner equivalent of torch FSDP (reference train.py:142-146):
+    callers place `state.params`/`state.opt_state` with NamedSharding over the
+    `fsdp` mesh axis (see `parallel.sharding.fsdp_shardings`) and the batch
+    over `data`; jit propagates those shardings and the SPMD partitioner
+    inserts the all-gathers/reduce-scatters that FSDP would do explicitly.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Array]:
+        def loss_of(p):
+            preds = apply_fn(p, batch["lr"])
+            return loss_fn(preds, batch["hr"])
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), loss
+
+    return train_step
