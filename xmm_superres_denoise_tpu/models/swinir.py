@@ -1,0 +1,262 @@
+"""SwinIR and SwinFIR restoration transformers in Flax, NHWC.
+
+Re-implements the reference SwinIR
+(`/root/reference/xmm_superres_denoise/models/transformer/swinir.py:22-406`)
+and SwinFIR (`transformer/swinfir.py:14-455`). SwinFIR = SwinIR with the
+residual conv of each RSTB replaced by an SFB (spatial ResB + fast-Fourier
+SpectralTransform fused by a 1x1 conv, swinfir.py:105-117); its FourierUnit
+(swinfir.py:14-61) maps to `jnp.fft.rfftn`/`irfftn` ('ortho'), which XLA
+lowers to on-device FFTs.
+
+Structure (swinir.py:350-395):
+  conv_first 3x3 -> [RSTB]* -> LayerNorm -> conv_after_body + skip
+  -> upsampler head ('pixelshuffle' | 'pixelshuffledirect' | 'nearest+conv'
+     | '' = denoise head with global input skip)
+
+Mean-shift: single-channel path uses mean 0, img_range 1 (swinir.py:189-194)
+— a no-op kept out of the graph.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .rrdb import pixel_shuffle
+from .swin_common import (
+    BasicLayer,
+    UpsampleOneStep,
+    UpsampleStack,
+    conv2d_torch,
+    to_image,
+    to_tokens,
+)
+
+Array = jnp.ndarray
+
+
+class FourierUnit(nn.Module):
+    """rfft2 -> 1x1 conv on (re, im) channels -> LeakyReLU -> irfft2
+    (swinfir.py:14-61, norm='ortho'). NHWC: FFT over the (H, W) axes."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        ff = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        # torch layout packs (batch, c, 2, h, w2) -> view(batch, 2c, h, w2):
+        # channel k of the conv input is [re(c0)..re(c-1), im(c0)..im(c-1)]?
+        # No — stack(real, imag, dim=-1).permute(0,1,4,2,3).view(b, c*2, ...)
+        # interleaves per-channel: [re(c0), im(c0), re(c1), im(c1), ...].
+        ff = jnp.stack([ff.real, ff.imag], axis=-1)  # b, h, w2, c, 2
+        ff = ff.reshape(b, h, ff.shape[2], c * 2)  # channel-major (c, reim)
+        ff = conv2d_torch(c * 2, c * 2, kernel=1, name="conv_layer")(ff)
+        ff = nn.leaky_relu(ff, negative_slope=0.2)
+        ff = ff.reshape(b, h, ff.shape[2], c, 2)
+        ff = ff[..., 0] + 1j * ff[..., 1]
+        out = jnp.fft.irfftn(ff, s=(h, w), axes=(1, 2), norm="ortho")
+        return out.astype(x.dtype)
+
+
+class SpectralTransform(nn.Module):
+    """1x1 squeeze -> FourierUnit -> 1x1 expand with inner skip
+    (swinfir.py:64-87)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        half = self.embed_dim // 2
+        x = conv2d_torch(half, self.embed_dim, kernel=1, name="conv1")(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        out = FourierUnit(half, name="fu")(x)
+        return conv2d_torch(self.embed_dim, half, kernel=1, name="conv2")(x + out)
+
+
+class ResB(nn.Module):
+    """conv-lrelu-conv residual block (swinfir.py:91-102)."""
+
+    embed_dim: int
+    red: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mid = self.embed_dim // self.red
+        y = conv2d_torch(mid, self.embed_dim, name="body_0")(x)
+        y = nn.leaky_relu(y, negative_slope=0.2)
+        y = conv2d_torch(self.embed_dim, mid, name="body_2")(y)
+        return y + x
+
+
+class SFB(nn.Module):
+    """Spatial-frequency block: ResB || SpectralTransform -> 1x1 fusion
+    (swinfir.py:105-117)."""
+
+    embed_dim: int
+    red: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = ResB(self.embed_dim, self.red, name="S")(x)
+        f = SpectralTransform(self.embed_dim, name="F")(x)
+        out = jnp.concatenate([s, f], axis=-1)
+        return conv2d_torch(self.embed_dim, 2 * self.embed_dim, kernel=1,
+                            name="fusion")(out)
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block (swinir.py:22-130 / swinfir.py:120-215):
+    BasicLayer -> residual conv ('1conv' | 'SFB' | 'HSFB' | 'identity') + skip."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rates: Sequence[float] = ()
+    use_checkpoint: bool = False
+    resi_connection: str = "1conv"
+
+    @nn.compact
+    def __call__(
+        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+    ) -> Array:
+        res = BasicLayer(
+            dim=self.dim,
+            input_resolution=self.input_resolution,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            drop_path_rates=tuple(self.drop_path_rates),
+            use_checkpoint=self.use_checkpoint,
+            name="residual_group",
+        )(x, x_size, deterministic)
+        img = to_image(res, x_size)
+        if self.resi_connection == "1conv":
+            img = conv2d_torch(self.dim, self.dim, name="conv")(img)
+        elif self.resi_connection == "SFB":
+            img = SFB(self.dim, 1, name="conv")(img)
+        elif self.resi_connection == "HSFB":
+            img = SFB(self.dim, 2, name="conv")(img)
+        elif self.resi_connection == "identity":
+            pass
+        else:
+            raise ValueError(self.resi_connection)
+        return to_tokens(img) + x
+
+
+class SwinIR(nn.Module):
+    """SwinIR (swinir.py:133-395). Set resi_connection='SFB' for SwinFIR."""
+
+    img_size: int = 64
+    patch_size: int = 1
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    use_checkpoint: bool = False
+    upscale: int = 2
+    upsampler: str = ""
+    resi_connection: str = "1conv"
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        h_in, w_in = x.shape[1], x.shape[2]
+        ed = self.embed_dim
+        patches_resolution = (
+            self.img_size // self.patch_size,
+            self.img_size // self.patch_size,
+        )
+
+        # reflect-pad to a window multiple (swinir.py:328-333); static shapes.
+        eff_ws = min(self.window_size, min(patches_resolution))
+        ph = (eff_ws - h_in % eff_ws) % eff_ws
+        pw = (eff_ws - w_in % eff_ws) % eff_ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        h, w = h_in + ph, w_in + pw
+        x_size = (h, w)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+
+        def features(feat: Array) -> Array:
+            t = to_tokens(feat)
+            if self.patch_norm:
+                t = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(t)
+            for i, depth in enumerate(self.depths):
+                sl = slice(sum(self.depths[:i]), sum(self.depths[: i + 1]))
+                t = RSTB(
+                    dim=ed,
+                    input_resolution=patches_resolution,
+                    depth=depth,
+                    num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop_path_rates=tuple(dpr[sl]),
+                    use_checkpoint=self.use_checkpoint,
+                    resi_connection=self.resi_connection,
+                    name=f"layers_{i}",
+                )(t, x_size, deterministic)
+            t = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
+            return to_image(t, x_size)
+
+        nf = self.num_feat
+        out_ch = self.in_chans
+
+        if self.upsampler == "pixelshuffle":
+            feat = conv2d_torch(ed, self.in_chans, name="conv_first")(x)
+            feat = conv2d_torch(ed, ed, name="conv_after_body")(features(feat)) + feat
+            feat = conv2d_torch(nf, ed, name="conv_before_upsample")(feat)
+            feat = nn.leaky_relu(feat, negative_slope=0.01)
+            feat = UpsampleStack(self.upscale, nf, name="upsample")(feat)
+            out = conv2d_torch(out_ch, nf, name="conv_last")(feat)
+        elif self.upsampler == "pixelshuffledirect":
+            feat = conv2d_torch(ed, self.in_chans, name="conv_first")(x)
+            feat = conv2d_torch(ed, ed, name="conv_after_body")(features(feat)) + feat
+            out = UpsampleOneStep(self.upscale, ed, out_ch, name="upsample")(feat)
+        elif self.upsampler == "nearest+conv":
+            feat = conv2d_torch(ed, self.in_chans, name="conv_first")(x)
+            feat = conv2d_torch(ed, ed, name="conv_after_body")(features(feat)) + feat
+            feat = conv2d_torch(nf, ed, name="conv_before_upsample")(feat)
+            feat = nn.leaky_relu(feat, negative_slope=0.01)
+            feat = jnp.repeat(jnp.repeat(feat, 2, axis=1), 2, axis=2)
+            feat = nn.leaky_relu(
+                conv2d_torch(nf, nf, name="conv_up1")(feat), negative_slope=0.2
+            )
+            if self.upscale == 4:
+                feat = jnp.repeat(jnp.repeat(feat, 2, axis=1), 2, axis=2)
+                feat = nn.leaky_relu(
+                    conv2d_torch(nf, nf, name="conv_up2")(feat), negative_slope=0.2
+                )
+            feat = nn.leaky_relu(
+                conv2d_torch(nf, nf, name="conv_hr")(feat), negative_slope=0.2
+            )
+            out = conv2d_torch(out_ch, nf, name="conv_last")(feat)
+        else:
+            # denoise / artifact-reduction head with global input skip
+            feat = conv2d_torch(ed, self.in_chans, name="conv_first")(x)
+            res = conv2d_torch(ed, ed, name="conv_after_body")(features(feat)) + feat
+            out = x + conv2d_torch(out_ch, ed, name="conv_last")(res)
+
+        return out[:, : h_in * self.upscale, : w_in * self.upscale, :]
+
+
+def SwinFIR(**kwargs) -> SwinIR:
+    """SwinFIR = SwinIR with SFB residual connections (swinfir.py:218-455)."""
+    kwargs.setdefault("resi_connection", "SFB")
+    return SwinIR(**kwargs)
