@@ -1,0 +1,160 @@
+"""Inference path: engine pipeline, WCS product writing, end-to-end obsid."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from xmm_superres_denoise_tpu.config import (
+    DatasetCfg,
+    HrDatasetCfg,
+    LrDatasetCfg,
+    ModelCfg,
+    OptimizerCfg,
+    RrdbCfg,
+)
+from xmm_superres_denoise_tpu.infer.run_file import InferenceEngine, infer_file
+from xmm_superres_denoise_tpu.io.fits import read_image, write_bintable, write_image
+
+REF_MASK = Path("/root/reference/res/detector_mask/pn_mask_500_2000_detxy_1x.ds")
+
+
+def _engine(sr=True, lr_res=416):
+    hr_res = lr_res * 2 if sr else lr_res
+    ds = DatasetCfg(
+        directory=Path("."),
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=lr_res),
+        hr=HrDatasetCfg(
+            exp=100 if sr else 50,
+            clamp_max=0.0005584 if sr else 0.0022336,
+            res=hr_res,
+        ),
+        scaling="sqrt",
+        type="boring",
+    )
+    name = "esr_gen" if sr else "rrdb_denoise"
+    mc = ModelCfg(
+        name=name,
+        memory_efficient=False,
+        batch_size=1,
+        model=RrdbCfg(base_model=name, filters=4, residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    model = build_model(mc, (lr_res, lr_res), (hr_res, hr_res))
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, lr_res, lr_res, 1)))
+    mask = None
+    if REF_MASK.exists():
+        mask, _ = read_image(REF_MASK)
+        mask = mask.astype(np.float32)
+    return InferenceEngine(mc, ds, params, det_mask=mask), ds
+
+
+def _write_detxy(tmp_path, seed=0):
+    g = np.random.default_rng(seed)
+    img = g.poisson(2.0, (411, 403)).astype(np.int32)
+    hdr = {
+        "EXPOSURE": 20_000.0,
+        "CRPIX1": 200.0,
+        "CRPIX2": 205.0,
+        "CRVAL1": 150.0,
+        "CRVAL2": 2.0,
+        "CDELT1": -0.001111,
+        "CDELT2": 0.001111,
+        "PA_PNT": 65.0,
+        "CTYPE1": "RA---TAN",
+        "CTYPE2": "DEC--TAN",
+    }
+    path = tmp_path / "pn_500_2000_detxy_image_20ks.fits"
+    write_image(path, img, hdr)
+    return path
+
+
+def test_engine_shapes():
+    engine, _ = _engine(sr=True)
+    raw = np.random.default_rng(1).uniform(0, 0.001, (411, 403)).astype(np.float32)
+    pred, inp = engine(raw)
+    assert pred.shape == (832, 832)
+    assert inp.shape == (416, 416)
+    assert pred.min() >= 0.0
+
+
+def test_infer_file_products_and_wcs(tmp_path):
+    engine, ds = _engine(sr=True)
+    detxy = _write_detxy(tmp_path)
+    p_in, p_pred = infer_file(
+        detxy, engine, tmp_path / "out", hr_exp_ks=100.0, model_name="esr_gen",
+        plot=False,
+    )
+    assert p_in.exists() and p_pred.exists()
+
+    img_in, h_in = read_image(p_in)
+    img_pred, h_pred = read_image(p_pred)
+    assert img_in.shape == (416, 416)
+    assert img_pred.shape == (832, 832)
+
+    # WCS carry-through: pad shift +6/+2 on the input product
+    assert h_in["CRPIX1"] == 200.0 + 6
+    assert h_in["CRPIX2"] == 205.0 + 2
+    # 2x product: CRPIX/CDELT rescale + CD matrix (filehandling.py:211-230)
+    assert h_pred["CRPIX1"] == 2 * (200.0 + 6) + 0.5
+    np.testing.assert_allclose(h_pred["CDELT1"], -0.001111 / 2, rtol=1e-5)
+    assert "CD1_1" in h_pred and "CROT2" in h_pred
+    assert h_pred["EXPOSURE"] == 100_000.0
+
+
+def test_end2end_native_obsid(tmp_path):
+    engine, _ = _engine(sr=True)
+    # synthetic PPS directory
+    pps = tmp_path / "pps"
+    pps.mkdir()
+    g = np.random.default_rng(3)
+    n = 20000
+    x0, x1, y0, y1 = -16120, 16119, -16440, 16439
+    write_bintable(
+        pps / "P0000000000PNS003PIEVLI0000.FTZ",
+        {
+            "TIME": np.sort(g.uniform(0, 30_000, n)),
+            "DETX": g.integers(x0, x1 + 1, n).astype(np.int32),
+            "DETY": g.integers(y0, y1 + 1, n).astype(np.int32),
+            "PI": g.integers(150, 12_000, n).astype(np.int32),
+            "PATTERN": g.integers(0, 13, n).astype(np.int32),
+            "FLAG": np.zeros(n, np.int32),
+        },
+        extname="EVENTS",
+        header={
+            "INSTRUME": "EPN", "ONTIME": 30_000.0,
+            "CRPIX1": 202.0, "CRPIX2": 206.0, "CRVAL1": 10.0, "CRVAL2": -5.0,
+            "CDELT1": -0.001111, "CDELT2": 0.001111, "PA_PNT": 80.0,
+            "REFXCDLT": -1.38889e-5, "REFYCDLT": 1.38889e-5,
+        },
+        column_limits={"DETX": (x0, x1), "DETY": (y0, y1)},
+    )
+    t = np.arange(0, 30_000, 100.0)
+    rate = np.full_like(t, 0.2)
+    write_bintable(
+        pps / "P0000000000PNS003FBKTSR0000.FTZ",
+        {"TIME": t, "RATE": rate},
+        extname="RATE",
+        header={"FLCUTTHR": 0.5},
+        primary_header={"INSTRUME": "EPN", "OBS_ID": "0000000000"},
+    )
+    (pps / "P0000000000OBX000CALIND0000.FTZ").write_bytes(b"\x00")
+
+    from xmm_superres_denoise_tpu.infer.end2end import run_end2end
+
+    result = run_end2end(
+        pps, engine, tmp_path / "out", hr_exp_ks=100.0, model_name="esr_gen",
+        plot=False,
+    )
+    assert Path(result["detxy"]).exists()
+    assert Path(result["prediction"]).exists()
+    img, hdr = read_image(result["detxy"])
+    assert img.shape == (411, 403)
+    assert result["latency_s"]["total"] > 0
+    pred, _ = read_image(result["prediction"])
+    assert pred.shape == (832, 832)

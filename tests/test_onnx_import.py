@@ -1,0 +1,129 @@
+"""ONNX weight import + RRDB torch-parity gate.
+
+Builds a torch-convention state dict, serializes it into a real ONNX file
+(wire-format writer), imports it onto the Flax RRDB models, and asserts
+pixel-wise agreement against an independent functional torch forward — the
+correctness anchor standing in for the reference's shipped ONNX checkpoints
+(BASELINE.md fidelity gate; blobs stripped from the checkout).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from xmm_superres_denoise_tpu.infer.onnx_import import (
+    import_onnx_params,
+    read_onnx_initializers,
+    write_onnx_initializers,
+)
+from xmm_superres_denoise_tpu.models import GeneratorRRDB_DN, GeneratorRRDB_SR
+
+NF, NB = 8, 2  # filters, rrdb blocks (tiny but structurally complete)
+
+
+def _torch_state(sr: bool, seed=0):
+    g = np.random.default_rng(seed)
+
+    def w(o, i):
+        return g.normal(0, 0.05, (o, i, 3, 3)).astype(np.float32)
+
+    def b(o):
+        return g.normal(0, 0.05, (o,)).astype(np.float32)
+
+    sd = {"conv_first.weight": w(NF, 1), "conv_first.bias": b(NF)}
+    for n in range(NB):
+        for k in (1, 2, 3):
+            for j in range(1, 6):
+                cin = NF + (j - 1) * NF  # dense concats grow by gc == NF
+                sd[f"rrdb.{n}.RDB{k}.conv{j}.weight"] = w(NF, cin)
+                sd[f"rrdb.{n}.RDB{k}.conv{j}.bias"] = b(NF)
+    sd["trunk_conv.weight"] = w(NF, NF)
+    sd["trunk_conv.bias"] = b(NF)
+    if sr:
+        sd["upsampling.0.weight"] = w(NF * 4, NF)
+        sd["upsampling.0.bias"] = b(NF * 4)
+        sd["HRconv.weight"] = w(NF, NF)
+        sd["HRconv.bias"] = b(NF)
+    sd["conv_last.weight"] = w(1, NF)
+    sd["conv_last.bias"] = b(1)
+    return sd
+
+
+def _t(sd, key):
+    return torch.from_numpy(sd[key])
+
+
+def _conv(x, sd, name):
+    return F.conv2d(x, _t(sd, f"{name}.weight"), _t(sd, f"{name}.bias"), padding=1)
+
+
+def _dense_block(x, sd, prefix):
+    lr = lambda t: F.leaky_relu(t, 0.2)
+    x1 = lr(_conv(x, sd, f"{prefix}.conv1"))
+    x2 = lr(_conv(torch.cat([x, x1], 1), sd, f"{prefix}.conv2"))
+    x3 = lr(_conv(torch.cat([x, x1, x2], 1), sd, f"{prefix}.conv3"))
+    x4 = lr(_conv(torch.cat([x, x1, x2, x3], 1), sd, f"{prefix}.conv4"))
+    x5 = _conv(torch.cat([x, x1, x2, x3, x4], 1), sd, f"{prefix}.conv5")
+    return x5 * 0.2 + x
+
+
+def _torch_forward(sd, x, sr: bool):
+    """Functional statement of the reference RRDB forward
+    (generator_rrdb.py:66-137) from a state dict."""
+    fea = _conv(x, sd, "conv_first")
+    t = fea
+    for n in range(NB):
+        inner = t
+        for k in (1, 2, 3):
+            inner = _dense_block(inner, sd, f"rrdb.{n}.RDB{k}")
+        t = inner * 0.2 + t
+    fea = fea + _conv(t, sd, "trunk_conv")
+    if sr:
+        up = F.leaky_relu(_conv(fea, sd, "upsampling.0"), 0.01)
+        up = F.pixel_shuffle(up, 2)
+        hr = F.leaky_relu(_conv(up, sd, "HRconv"), 0.2)
+        out = _conv(hr, sd, "conv_last")
+    else:
+        out = _conv(fea, sd, "conv_last") + x
+    return torch.clamp(out, 0.0, 1.0)
+
+
+def test_onnx_roundtrip_reader(tmp_path):
+    tensors = {
+        "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "conv.weight": np.random.default_rng(0).normal(size=(4, 2, 3, 3)).astype(
+            np.float32
+        ),
+    }
+    p = write_onnx_initializers(tmp_path / "m.onnx", tensors)
+    back = read_onnx_initializers(p)
+    assert set(back) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(back[k], tensors[k])
+
+
+@pytest.mark.parametrize("sr", [False, True])
+def test_rrdb_matches_torch_via_onnx(tmp_path, sr):
+    sd = _torch_state(sr, seed=3 if sr else 4)
+    onnx_path = write_onnx_initializers(tmp_path / "model.onnx", sd)
+
+    model = (
+        GeneratorRRDB_SR(num_filters=NF, num_res_blocks=NB, num_upsample=1)
+        if sr
+        else GeneratorRRDB_DN(num_filters=NF, num_res_blocks=NB)
+    )
+    x_np = np.random.default_rng(5).uniform(0, 1, (1, 1, 40, 40)).astype(np.float32)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 1))
+    )
+    params = {"params": import_onnx_params(onnx_path, template["params"])}
+
+    ours = np.asarray(
+        model.apply(params, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    ref = _torch_forward(sd, torch.from_numpy(x_np), sr).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

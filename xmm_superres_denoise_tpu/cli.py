@@ -1,0 +1,191 @@
+"""Command-line interface: train / test / infer / detxy.
+
+Rebuilds the reference entry points (`/root/reference/xmm_superres_denoise/
+train.py:19-171`, `inference_end2end_obsid.py`,
+`produce_detxy_image_for_inference.py`) on the JAX harness:
+
+  python -m xmm_superres_denoise_tpu.cli fit   <run_config.toml>
+  python -m xmm_superres_denoise_tpu.cli test  <run_config.toml>
+  python -m xmm_superres_denoise_tpu.cli infer --fits F --ckpt C --run_config R
+  python -m xmm_superres_denoise_tpu.cli detxy --pps DIR --out DIR
+
+Config assembly matches train.py: run-config TOML selects dataset/model/
+trainer; model hparams come from res/configs/models.toml (optimizer fields
+split out, train.py:35-44); loss weights + per-stretch scaling tables from
+res/configs/loss_functions.toml gated by `use_scaling` (train.py:46-53).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import tomllib
+from pathlib import Path
+from typing import Optional, Tuple
+
+RES_DIR = Path(__file__).resolve().parents[1] / "res"
+
+log = logging.getLogger("xmmsr")
+
+
+def load_run_config(path: Path, res_dir: Path = RES_DIR):
+    """TOML -> (DatasetCfg, ModelCfg, TrainerCfg, loss sc_dict, LossCfg)."""
+    from .config.schema import DatasetCfg, ModelCfg, TrainerCfg
+    from .train.loss import load_scaling_tables
+
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+
+    dataset = cfg["dataset"]
+    if dataset.get("hr", {}).get("exp") == 0:
+        dataset["hr"] = None
+    dataset_config = DatasetCfg(**dataset)
+
+    model_dict = dict(cfg["model"])
+    with open(res_dir / "configs" / "models.toml", "rb") as f:
+        registry = tomllib.load(f)
+    model_dict["model"] = dict(registry[model_dict["name"]])
+    model_dict["optimizer"] = {
+        "learning_rate": model_dict["model"].pop("learning_rate"),
+        "betas": model_dict["model"].pop("betas"),
+    }
+    model_dict["batch_size"] = dataset_config.batch_size
+    model_config = ModelCfg(**model_dict)
+
+    with open(res_dir / "configs" / "loss_functions.toml", "rb") as f:
+        loss_toml = tomllib.load(f)
+    sc_dict, loss_config = load_scaling_tables(loss_toml, dataset_config.scaling)
+
+    trainer_config = TrainerCfg(**cfg.get("trainer", {}))
+    return dataset_config, model_config, trainer_config, sc_dict, loss_config
+
+
+def _build_trainer(args):
+    from .data.datamodule import XmmDataModule
+    from .ops.stretch import Normalizer
+    from .train.loop import Trainer
+    from .train.loss import create_loss
+
+    ds_cfg, m_cfg, t_cfg, sc_dict, l_cfg = load_run_config(args.run_config)
+    dm = XmmDataModule(ds_cfg, seed=t_cfg.seed)
+    loss = create_loss(sc_dict, l_cfg)
+    scaling_normalizers = [
+        Normalizer(
+            lr_max=ds_cfg.lr.clamp_max,
+            hr_max=ds_cfg.hr.clamp_max if ds_cfg.hr else ds_cfg.lr.clamp_max,
+            mode="linear",
+        )
+    ]
+    return Trainer(m_cfg, t_cfg, dm, loss, scaling_normalizers), t_cfg
+
+
+def cmd_fit(args) -> int:
+    trainer, t_cfg = _build_trainer(args)
+    result = trainer.fit(seed=t_cfg.seed, resume=t_cfg.checkpoint_path is not None)
+    log.info(
+        "fit done: best val/loss %.5f at epoch %d",
+        result.best_val_loss, result.best_step,
+    )
+    logs = trainer.test(extended=not args.no_extended)
+    print(json.dumps(logs, indent=2))
+    return 0
+
+
+def cmd_test(args) -> int:
+    trainer, _ = _build_trainer(args)
+    logs = trainer.test(extended=not args.no_extended)
+    print(json.dumps(logs, indent=2))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from .data.datasets import load_det_mask
+    from .infer.run_file import InferenceEngine, infer_file
+    from .models.registry import build_model
+    from .train.checkpoints import load_params_npz
+
+    ds_cfg, m_cfg, _, _, _ = load_run_config(args.run_config)
+    lr = (ds_cfg.lr.res, ds_cfg.lr.res)
+    hr = (ds_cfg.hr.res, ds_cfg.hr.res) if ds_cfg.hr else lr
+    model = build_model(m_cfg, lr, hr)
+    import jax.numpy as jnp
+
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *lr, 1)))
+    ckpt = Path(args.checkpoint)
+    if ckpt.suffix == ".npz":
+        params = load_params_npz(ckpt, template)
+    elif ckpt.suffix == ".onnx":
+        from .infer.onnx_import import import_onnx_params
+
+        params = import_onnx_params(ckpt, template)
+    else:
+        from .train.checkpoints import CheckpointManager
+        from .train.steps import TrainState
+
+        import optax
+
+        mngr = CheckpointManager(ckpt)
+        state, _ = mngr.restore_best(
+            TrainState.create(template, optax.adam(1e-4))
+        )
+        params = state.params
+
+    mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
+    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask)
+    p_in, p_pred = infer_file(
+        Path(args.fits), engine, Path(args.out),
+        hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
+        model_name=m_cfg.name.value,
+        plot=args.plot,
+    )
+    print(json.dumps({"input": str(p_in), "prediction": str(p_pred)}))
+    return 0
+
+
+def cmd_detxy(args) -> int:
+    from .infer.end2end import detxy_for_obsid
+
+    out = detxy_for_obsid(
+        Path(args.pps), Path(args.out), instrument=args.instrument,
+        max_expo_ks=args.max_expo, use_sas=args.use_sas,
+    )
+    print(json.dumps({"detxy": str(out)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    parser = argparse.ArgumentParser(prog="xmmsr")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("fit", "test"):
+        p = sub.add_parser(name, help=f"{name} a model from a run config")
+        p.add_argument("run_config", type=Path)
+        p.add_argument("--no-extended", action="store_true")
+        p.set_defaults(func=cmd_fit if name == "fit" else cmd_test)
+
+    p = sub.add_parser("infer", help="run SR/DN inference on a detxy FITS")
+    p.add_argument("--fits", type=Path, required=True)
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--run_config", type=Path, required=True)
+    p.add_argument("--plot", action="store_true")
+    p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser("detxy", help="event list -> detxy image (native or SAS)")
+    p.add_argument("--pps", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--instrument", default="pn")
+    p.add_argument("--max_expo", type=float, default=20.0)
+    p.add_argument("--use_sas", action="store_true")
+    p.set_defaults(func=cmd_detxy)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

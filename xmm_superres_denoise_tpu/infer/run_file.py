@@ -1,0 +1,168 @@
+"""Single-file inference: detxy FITS -> model -> SR/DN FITS (+ PNG plots).
+
+The TPU-native rebuild of the reference's inference utility
+(`/root/reference/xmm_superres_denoise/utils/run_inference_on_file.py:51-200`),
+with its documented bitrot repaired (SURVEY.md §2.4): clean config plumbing,
+a fused jitted preprocess+forward+denormalize pipeline, checkpoints from the
+orbax/npz store (filling the role of .ckpt/.onnx dispatch), and WCS-carrying
+FITS products.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import DatasetCfg, ModelCfg
+from ..data.datasets import load_det_mask
+from ..io.fits import Header, read_image
+from ..io.wcs import write_xmm_product_wcs
+from ..models.registry import build_model
+from ..ops.preprocess import NATIVE_HW, pad_to_res, unpad_from_res
+from ..ops.stretch import Normalizer
+
+log = logging.getLogger("xmmsr")
+
+EXPOSURE_WINDOW_KS = (15.0, 25.0)  # training regime sanity band
+
+
+class InferenceEngine:
+    """A jit-compiled detxy-image -> prediction pipeline.
+
+    The whole mask -> pad -> normalize -> model -> clamp -> denormalize chain
+    is ONE jitted function (`run_inference_on_file.py:137-170` squeezed into
+    a single device program); weights stay resident between calls.
+    """
+
+    def __init__(
+        self,
+        model_config: ModelCfg,
+        dataset_config: DatasetCfg,
+        params,
+        det_mask: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+    ):
+        cfg = dataset_config
+        self.lr_res = cfg.lr.res
+        self.hr_res = cfg.hr.res if cfg.hr else cfg.lr.res
+        self.normalizer = Normalizer(
+            lr_max=cfg.lr.clamp_max,
+            hr_max=cfg.hr.clamp_max if cfg.hr else cfg.lr.clamp_max,
+            mode=cfg.scaling,
+        )
+        self.model = build_model(
+            model_config, (self.lr_res, self.lr_res), (self.hr_res, self.hr_res)
+        )
+        self.params = params
+        mask = None
+        if det_mask is not None:
+            mask = jnp.asarray(det_mask, dtype)
+        nz = self.normalizer
+        model = self.model
+        lr_res = self.lr_res
+
+        @jax.jit
+        def _run(params, raw):  # raw: (B, H, W) native geometry
+            x = raw
+            if mask is not None:
+                x = x * mask
+            x = pad_to_res(x, lr_res)[..., None]  # NHWC
+            x = nz.normalize_lr(x)
+            pred = jnp.clip(model.apply(params, x), 0.0, 1.0)
+            return nz.denormalize_hr(pred)[..., 0], nz.denormalize_lr(x)[..., 0]
+
+        self._run = _run
+
+    def __call__(self, raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """raw (H, W) or (B, H, W) -> (prediction, denormalized padded input)."""
+        single = raw.ndim == 2
+        if single:
+            raw = raw[None]
+        pred, inp = self._run(self.params, jnp.asarray(raw))
+        pred, inp = np.asarray(pred), np.asarray(inp)
+        return (pred[0], inp[0]) if single else (pred, inp)
+
+
+def infer_file(
+    fits_file: Path,
+    engine: InferenceEngine,
+    out_path: Path,
+    hr_exp_ks: float,
+    model_name: str,
+    plot: bool = True,
+) -> Tuple[Path, Path]:
+    """detxy FITS -> {input, prediction} WCS FITS products
+    (_infer_file semantics, run_inference_on_file.py:101-200)."""
+    fits_file = Path(fits_file)
+    if not fits_file.exists():
+        raise FileNotFoundError(f"File {fits_file} not found!")
+    out_path = Path(out_path)
+    out_path.mkdir(parents=True, exist_ok=True)
+
+    img, hdr = read_image(fits_file)
+    exposure = float(hdr.get("EXPOSURE", hdr.get("ONTIME", 0.0)))
+    ontime_ks = exposure / 1000.0
+    lo, hi = EXPOSURE_WINDOW_KS
+    if ontime_ks <= lo or ontime_ks >= hi:
+        log.warning(
+            "The networks were trained on 20 ks exposure images; "
+            "the exposure time of the input image is %.2f ks.",
+            ontime_ks,
+        )
+    else:
+        log.info("Input exposure: %.2f ks", ontime_ks)
+
+    # rate image (counts / exposure) like the training data normalization
+    rate = img.astype(np.float32)
+    if exposure > 0:
+        rate = rate / exposure
+
+    pred, inp = engine(rate)
+
+    in_name = f"{fits_file.stem.replace('.fits', '')}_input_wcs"
+    pred_name = in_name.replace("input", "predict")
+    res_mult = pred.shape[0] // inp.shape[0]
+
+    p_in = write_xmm_product_wcs(
+        inp, out_path, fits_file.name, 1, exposure,
+        comment="Input image padded and WCS aligned. Needs to be multiplied by exposure.",
+        out_file_name=in_name, in_header=hdr,
+    )
+    p_pred = write_xmm_product_wcs(
+        pred, out_path, fits_file.name, res_mult, hr_exp_ks * 1000.0,
+        comment=(
+            f"XMM {model_name} model prediction. Needs to be multiplied by "
+            "exposure. It's possible that the given exposure is not correctly "
+            "calculated so take care."
+        ),
+        out_file_name=pred_name, in_header=hdr,
+    )
+
+    if plot:
+        _save_plots(p_in, p_pred, out_path)
+    return p_in, p_pred
+
+
+def _save_plots(p_in: Path, p_pred: Path, out: Path) -> None:
+    """99.5-percentile plasma plots (run_inference_on_file.py:75-98)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for path, name in ((p_in, "plot_in.png"), (p_pred, "plot_out.png")):
+        img, _ = read_image(path)
+        finite = img[np.isfinite(img)]
+        lo, hi = np.percentile(finite, [0.25, 99.75])
+        plt.figure()
+        plt.imshow(
+            np.clip(img, lo, hi), cmap="plasma", origin="lower",
+            interpolation="nearest",
+        )
+        plt.savefig(out / name)
+        plt.close()

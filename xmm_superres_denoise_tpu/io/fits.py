@@ -317,6 +317,98 @@ def _format_card(key: str, value: Any, comment: str = "") -> str:
     return card[:CARD].ljust(CARD)
 
 
+_NP_TFORM = {
+    np.dtype(np.float64): ("D", np.dtype(">f8")),
+    np.dtype(np.float32): ("E", np.dtype(">f4")),
+    np.dtype(np.int64): ("K", np.dtype(">i8")),
+    np.dtype(np.int32): ("J", np.dtype(">i4")),
+    np.dtype(np.int16): ("I", np.dtype(">i2")),
+    np.dtype(np.uint8): ("B", np.dtype("u1")),
+}
+
+
+def write_bintable(
+    path: Union[str, Path],
+    columns: Dict[str, np.ndarray],
+    extname: str = "EVENTS",
+    header: Optional[Dict[str, Any]] = None,
+    column_limits: Optional[Dict[str, Tuple[int, int]]] = None,
+    primary_header: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Write a single-BINTABLE FITS file (primary HDU + table extension).
+
+    Covers what the native event/GTI pipeline needs: scalar columns of
+    f8/f4/i8/i4/i2/u1, EXTNAME, per-column TLMIN/TLMAX bounds."""
+    path = Path(path)
+    names = list(columns)
+    arrs = []
+    tforms = []
+    for name in names:
+        a = np.asarray(columns[name])
+        if a.dtype not in _NP_TFORM:
+            a = a.astype(np.float64)
+        letter, be = _NP_TFORM[a.dtype]
+        arrs.append(np.ascontiguousarray(a.astype(be)))
+        tforms.append(letter)
+    nrows = len(arrs[0]) if arrs else 0
+    rowlen = sum(a.dtype.itemsize for a in arrs)
+
+    cards = [
+        _format_card("SIMPLE", True),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 0),
+        _format_card("EXTEND", True),
+    ]
+    if primary_header:
+        for k, v in primary_header.items():
+            cards.append(_format_card(str(k).upper()[:8], v))
+    cards.append("END".ljust(CARD))
+    pblock = "".join(cards).encode("ascii")
+    pblock += b" " * (_padded(len(pblock)) - len(pblock))
+
+    tcards = [
+        _format_card("XTENSION", "BINTABLE"),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 2),
+        _format_card("NAXIS1", rowlen),
+        _format_card("NAXIS2", nrows),
+        _format_card("PCOUNT", 0),
+        _format_card("GCOUNT", 1),
+        _format_card("TFIELDS", len(names)),
+    ]
+    for i, (name, tf) in enumerate(zip(names, tforms), start=1):
+        tcards.append(_format_card(f"TTYPE{i}", name))
+        tcards.append(_format_card(f"TFORM{i}", tf))
+        if column_limits and name in column_limits:
+            lo, hi = column_limits[name]
+            tcards.append(_format_card(f"TLMIN{i}", int(lo)))
+            tcards.append(_format_card(f"TLMAX{i}", int(hi)))
+    tcards.append(_format_card("EXTNAME", extname))
+    if header:
+        comments = getattr(header, "comments", {})
+        for k, v in header.items():
+            tcards.append(_format_card(str(k).upper()[:8], v, comments.get(k, "")))
+    tcards.append("END".ljust(CARD))
+    tblock = "".join(tcards).encode("ascii")
+    tblock += b" " * (_padded(len(tblock)) - len(tblock))
+
+    rows = np.empty((nrows, rowlen), np.uint8)
+    off = 0
+    for a in arrs:
+        w = a.dtype.itemsize
+        rows[:, off : off + w] = a.view(np.uint8).reshape(nrows, w)
+        off += w
+    data = rows.tobytes()
+    data += b"\x00" * (_padded(len(data)) - len(data))
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blob = pblock + tblock + data
+    if path.name.endswith(".gz"):
+        blob = gzip.compress(blob)
+    path.write_bytes(blob)
+    return path
+
+
 def write_image(
     path: Union[str, Path],
     data: np.ndarray,

@@ -1,0 +1,335 @@
+"""Native event-list -> detector-coordinate image pipeline (SAS-free).
+
+Replaces the reference's subprocess chain around XMM-SAS
+(`/root/reference/xmm_superres_denoise/utils/xmmsas_tools.py`) with direct
+FITS bintable reads + a jitted JAX binning kernel, so the end-to-end obsid
+path (BASELINE.md north-star) runs without the SAS toolchain:
+
+  1. GTI derivation: flaring-background RATE curve vs the PPS `FLCUTTHR`
+     threshold, contiguous below-threshold runs >= mingtisize (the
+     `tabgtigen expression="RATE<=thr" mingtisize=50` semantics,
+     xmmsas_tools.py:282-290).
+  2. Exposure capping at max_expo ks, largest-GTI-first accumulation
+     (max_expo_gti, xmmsas_tools.py:160-213 — including its keep-the-
+     overshoot quirk on the last accumulated GTI, preserved deliberately
+     and documented).
+  3. Event filtering: EPN `FLAG==0 && PATTERN<=4 && PI>150` + GTI membership
+     (filter_events_gti, xmmsas_tools.py:437-444).
+  4. DETX/DETY binning with `PI in [500,2000] && FLAG==0 && PATTERN in [0:4]`
+     at bin 80 (=4"/px) over the detector's TLMIN/TLMAX bounds — the
+     `evselect imagebinning=binSize` geometry (make_detxy_image,
+     xmmsas_tools.py:469-547). The histogram runs on device as a
+     scatter-add over a static pixel grid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fits import Header, read_bintable
+
+Array = jnp.ndarray
+
+PN_BIN_SIZE = 80  # in 0.05" units -> 4"/pixel
+PN_PI_BAND = (500, 2000)  # eV
+
+
+# --------------------------------------------------------------------------- #
+# 1-2. GTI derivation and exposure capping
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class GTI:
+    start: np.ndarray  # (n,) seconds
+    stop: np.ndarray
+
+    @property
+    def exposure(self) -> float:
+        return float(np.sum(self.stop - self.start))
+
+
+def gti_from_rate(
+    time: np.ndarray,
+    rate: np.ndarray,
+    threshold: float,
+    mingtisize: float = 50.0,
+) -> GTI:
+    """Below-threshold runs of the flaring-background curve as GTIs.
+
+    tabgtigen semantics: contiguous samples with RATE <= threshold form an
+    interval [t_first, t_last + dt); intervals shorter than `mingtisize`
+    seconds are dropped (xmmsas_tools.py:286-290).
+    """
+    time = np.asarray(time, np.float64)
+    rate = np.asarray(rate, np.float64)
+    good = rate <= threshold
+    if not good.any():
+        return GTI(np.empty(0), np.empty(0))
+    dt = float(np.median(np.diff(time))) if len(time) > 1 else 0.0
+
+    stops_idx = []
+    run_start = None
+    for i, g in enumerate(good):
+        if g and run_start is None:
+            run_start = i
+        elif not g and run_start is not None:
+            stops_idx.append((run_start, i - 1))
+            run_start = None
+    if run_start is not None:
+        stops_idx.append((run_start, len(good) - 1))
+
+    start_t = np.array([time[a] for a, _ in stops_idx])
+    stop_t = np.array([time[b] + dt for _, b in stops_idx])
+    keep = (stop_t - start_t) >= mingtisize
+    return GTI(start_t[keep], stop_t[keep])
+
+
+def cap_gti_exposure(gti: GTI, max_expo_ks: float) -> GTI:
+    """Cap total GTI exposure at max_expo ks (max_expo_gti semantics,
+    xmmsas_tools.py:160-213).
+
+    Reproduces the reference's behavior exactly, including the documented
+    quirk (SURVEY.md §2.4): in the accumulate branch the final GTI's stop is
+    set to start + (sum - max_expo) — i.e. the *overshoot* — rather than the
+    remainder needed to reach max_expo. Preserved because downstream exposure
+    bookkeeping in shipped products was produced with this behavior.
+    """
+    if max_expo_ks <= 0:
+        return gti
+    max_sec = max_expo_ks * 1000.0
+    start, stop = gti.start.copy(), gti.stop.copy()
+    delta = stop - start
+    n = len(delta)
+    mask = np.zeros(n, bool)
+
+    ix = np.where(delta >= max_sec)[0]
+    if len(ix) == 1:
+        mask[ix] = True
+        stop[ix] = start[ix] + max_sec
+    elif len(ix) > 1:
+        imax = int(np.argmax(delta))
+        mask[imax] = True
+        stop[imax] = start[imax] + max_sec
+    else:
+        order = np.argsort(delta)[::-1]
+        total = 0.0
+        for j in order:
+            total += delta[j]
+            if total >= max_sec:
+                mask[j] = True
+                stop[j] = start[j] + (total - max_sec)  # reference quirk
+                break
+            mask[j] = True
+    return GTI(start[mask], stop[mask])
+
+
+# --------------------------------------------------------------------------- #
+# 3-4. Event filtering + on-device binning
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class EventList:
+    """Columns of an EPIC EVENTS extension + detector-coordinate bounds."""
+
+    time: np.ndarray
+    detx: np.ndarray
+    dety: np.ndarray
+    pi: np.ndarray
+    pattern: np.ndarray
+    flag: np.ndarray
+    header: Header
+
+    @property
+    def detx_bounds(self) -> Tuple[int, int]:
+        return self._bounds("DETX")
+
+    @property
+    def dety_bounds(self) -> Tuple[int, int]:
+        return self._bounds("DETY")
+
+    def _bounds(self, col: str) -> Tuple[int, int]:
+        idx = None
+        for i in range(1, int(self.header["TFIELDS"]) + 1):
+            if str(self.header.get(f"TTYPE{i}", "")).strip() == col:
+                idx = i
+                break
+        if idx is None or f"TLMIN{idx}" not in self.header:
+            arr = self.detx if col == "DETX" else self.dety
+            return int(arr.min()), int(arr.max())
+        return int(self.header[f"TLMIN{idx}"]), int(self.header[f"TLMAX{idx}"])
+
+
+def load_event_list(path: Path) -> EventList:
+    cols, hdr = read_bintable(
+        path,
+        columns=["TIME", "DETX", "DETY", "PI", "PATTERN", "FLAG"],
+        extname="EVENTS",
+    )
+    missing = [c for c in ("TIME", "DETX", "DETY", "PI") if c not in cols]
+    if missing:
+        raise ValueError(f"{path}: EVENTS table missing columns {missing}")
+    n = len(cols["TIME"])
+    return EventList(
+        time=np.asarray(cols["TIME"], np.float64),
+        detx=np.asarray(cols["DETX"], np.int32),
+        dety=np.asarray(cols["DETY"], np.int32),
+        pi=np.asarray(cols["PI"], np.int32),
+        pattern=np.asarray(cols.get("PATTERN", np.zeros(n)), np.int32),
+        flag=np.asarray(cols.get("FLAG", np.zeros(n)), np.int32),
+        header=hdr,
+    )
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "bin_size", "max_gti"))
+def _bin_events_device(
+    detx: Array,
+    dety: Array,
+    pi: Array,
+    pattern: Array,
+    flag: Array,
+    time: Array,
+    gti_start: Array,  # (max_gti,) padded with +inf
+    gti_stop: Array,  # (max_gti,) padded with -inf
+    *,
+    nx: int,
+    ny: int,
+    bin_size: int,
+    max_gti: int,
+    x0: int,
+    y0: int,
+    pi_lo: int,
+    pi_hi: int,
+    pattern_max: int,
+) -> Array:
+    """Filter + histogram events into an (ny, nx) image on device.
+
+    One fused pass: predicates (PI band, FLAG==0, PATTERN, GTI membership)
+    -> flat pixel index -> scatter-add. Static shapes: event arrays are
+    padded by the host wrapper; invalid rows carry weight 0.
+    """
+    in_gti = jnp.zeros(time.shape, bool)
+    for g in range(max_gti):
+        in_gti = in_gti | ((time >= gti_start[g]) & (time < gti_stop[g]))
+
+    valid = (
+        (pi >= pi_lo)
+        & (pi <= pi_hi)
+        & (flag == 0)
+        & (pattern <= pattern_max)
+        & in_gti
+    )
+
+    ix = (detx - x0) // bin_size
+    iy = (dety - y0) // bin_size
+    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    valid = valid & inside
+
+    flat = jnp.where(valid, iy * nx + ix, nx * ny)  # invalid -> overflow bin
+    img = jnp.zeros((nx * ny + 1,), jnp.float32).at[flat].add(1.0)
+    return img[:-1].reshape(ny, nx)
+
+
+def bin_events(
+    events: EventList,
+    gti: Optional[GTI] = None,
+    bin_size: int = PN_BIN_SIZE,
+    pi_band: Tuple[int, int] = PN_PI_BAND,
+    pattern_max: int = 4,
+    pad_to: int = 2**20,
+) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Produce the (ny, nx) detxy count image + WCS-ish metadata.
+
+    Geometry follows evselect binSize mode over the detector TLMIN/TLMAX
+    bounds: nx = floor((xmax - xmin + 1) / bin) etc., pixel (0,0) at
+    (TLMIN, TLMIN). For EPN at bin 80 this yields the (411, 403) native
+    image the models expect.
+    """
+    x0, x1 = events.detx_bounds
+    y0, y1 = events.dety_bounds
+    nx = (x1 - x0 + 1) // bin_size
+    ny = (y1 - y0 + 1) // bin_size
+
+    n = len(events.time)
+    size = pad_to
+    while size < n:
+        size *= 2
+
+    def pad(a, fill=0):
+        out = np.full((size,), fill, a.dtype)
+        out[:n] = a
+        return out
+
+    if gti is None or len(gti.start) == 0:
+        gti_start = np.array([-np.inf])
+        gti_stop = np.array([np.inf])
+    else:
+        gti_start, gti_stop = gti.start, gti.stop
+    max_gti = len(gti_start)
+
+    img = _bin_events_device(
+        jnp.asarray(pad(events.detx)),
+        jnp.asarray(pad(events.dety)),
+        jnp.asarray(pad(events.pi, fill=-1)),  # padded rows fail the PI cut
+        jnp.asarray(pad(events.pattern, fill=99)),
+        jnp.asarray(pad(events.flag, fill=1)),
+        jnp.asarray(pad(events.time.astype(np.float64), fill=np.inf)),
+        jnp.asarray(gti_start),
+        jnp.asarray(gti_stop),
+        nx=nx,
+        ny=ny,
+        bin_size=bin_size,
+        max_gti=max_gti,
+        x0=x0,
+        y0=y0,
+        pi_lo=pi_band[0],
+        pi_hi=pi_band[1],
+        pattern_max=pattern_max,
+    )
+    meta = {
+        "bin_size": bin_size,
+        "x0": x0,
+        "y0": y0,
+        "nx": nx,
+        "ny": ny,
+        "exposure": gti.exposure if gti is not None else float("nan"),
+    }
+    return np.asarray(img), meta
+
+
+def detxy_image_from_event_file(
+    event_path: Path,
+    fbk_path: Optional[Path] = None,
+    max_expo_ks: float = 20.0,
+    bin_size: int = PN_BIN_SIZE,
+    pi_band: Tuple[int, int] = PN_PI_BAND,
+) -> Tuple[np.ndarray, Dict[str, float], Header]:
+    """Full native chain: event FITS (+ optional FBKTSR) -> detxy image.
+
+    The TPU-native equivalent of produce_detxy_image_for_inference.py's
+    get_detxy_for_obs_id (GTI -> filter -> bin), minus the subprocess hops.
+    """
+    events = load_event_list(event_path)
+
+    gti = None
+    if fbk_path is not None:
+        cols, fbk_hdr = read_bintable(
+            fbk_path, columns=["TIME", "RATE"], extname="RATE"
+        )
+        thr = fbk_hdr.get("FLCUTTHR")
+        if thr is not None:
+            gti = gti_from_rate(cols["TIME"], cols["RATE"], float(thr))
+            gti = cap_gti_exposure(gti, max_expo_ks)
+
+    img, meta = bin_events(events, gti, bin_size=bin_size, pi_band=pi_band)
+    if gti is None:
+        meta["exposure"] = float(events.header.get("ONTIME", float("nan")))
+    return img, meta, events.header
