@@ -15,7 +15,7 @@ from xmm_superres_denoise_tpu.train.loss import create_loss, load_scaling_tables
 LOSS_TOML = Path(__file__).resolve().parents[1] / "res/configs/loss_functions.toml"
 
 
-def _pair(shape=(1, 64, 64, 1), seed=0):
+def _pair(shape=(1, 256, 256, 1), seed=0):  # >= 208 px for 5-scale MS-SSIM
     g = np.random.default_rng(seed)
     p = g.uniform(0, 1, shape).astype(np.float32)
     t = np.clip(p + g.normal(0, 0.05, shape), 0, 1).astype(np.float32)

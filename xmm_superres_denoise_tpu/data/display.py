@@ -1,0 +1,54 @@
+"""Display data module: fixed curated batches for epoch image logging.
+
+The reference's `XmmDisplayDataModule`
+(`/root/reference/xmm_superres_denoise/data/xmm_display_datamodule.py:8-78`)
+is broken in-tree (imports a removed `XmmSimDataset`, SURVEY.md §2.4); this
+is the working rebuild: a deterministic, fixed selection of validation
+samples rendered identically every epoch so panels are comparable across
+training.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .datamodule import XmmDataModule
+
+
+class XmmDisplayDataModule:
+    """Wraps a parent datamodule and pins a fixed display batch."""
+
+    def __init__(
+        self,
+        datamodule: XmmDataModule,
+        split: str = "val",
+        num_images: int = 4,
+        indices: Optional[List[int]] = None,
+    ):
+        self.dm = datamodule
+        if indices is None:
+            pool = datamodule.split_indices(split)
+            indices = list(map(int, pool[: num_images]))
+        self.indices = indices
+
+    def display_batch(self) -> Dict[str, np.ndarray]:
+        """Raw host batch of the pinned samples, NHWC (un-normalized for raw
+        geometry datasets; the caller runs the datamodule's device prep)."""
+        lrs, hrs = [], []
+        for i in self.indices:
+            lr, hr = self.dm.dataset[int(i)]
+            lrs.append(lr.transpose(1, 2, 0))
+            if hr is not None:
+                hrs.append(hr.transpose(1, 2, 0))
+        out = {"lr": np.stack(lrs)}
+        if hrs:
+            out["hr"] = np.stack(hrs)
+        return out
+
+    def prepared_batch(self):
+        """Device-preprocessed (normalized, padded) display batch."""
+        hb = self.display_batch()
+        lr, hr = self.dm._prep(hb["lr"], hb.get("hr"))
+        return {"lr": np.asarray(lr), "hr": None if hr is None else np.asarray(hr)}

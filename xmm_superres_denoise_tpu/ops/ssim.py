@@ -144,6 +144,13 @@ def ms_ssim_per_image(
     normalize: str = "relu",
 ) -> Array:
     """Per-image multi-scale SSIM, shape (N,). torchmetrics semantics."""
+    min_side = min(preds.shape[1], preds.shape[2])
+    needed = kernel_size * 2 ** (len(MS_SSIM_BETAS) - 1)
+    if min_side < needed:
+        raise ValueError(
+            f"MS-SSIM with kernel {kernel_size} needs images >= {needed} px per "
+            f"side (5 halving scales); got {preds.shape[1]}x{preds.shape[2]}"
+        )
     betas = jnp.asarray(MS_SSIM_BETAS)
     mcs = []
     sim = None

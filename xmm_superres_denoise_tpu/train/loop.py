@@ -102,6 +102,26 @@ class Trainer:
             self._apply, self.loss_fn, self.tx, self.mesh
         )
 
+        # Epoch image logging (reference ImageLogger, rebuilt — see
+        # utils/imagelogger.py). Enabled via log_images_every_n_epochs > 0.
+        self.image_logger = None
+        self._display = None
+        if trainer_config.log_images_every_n_epochs > 0:
+            from ..data.display import XmmDisplayDataModule
+            from ..utils.imagelogger import ImageLogger
+
+            hr_exp = cfg.hr.exp if cfg.hr else cfg.lr.exps[0]
+            self.image_logger = ImageLogger(
+                out_dir=Path(trainer_config.checkpoint_root or "checkpoints")
+                / model_config.name.value
+                / "images",
+                normalizer=self.dm.normalizer,
+                log_every_n_epochs=trainer_config.log_images_every_n_epochs,
+                lr_exp_ks=float(cfg.lr.exps[0]),
+                hr_exp_ks=float(hr_exp),
+            )
+            self._display = XmmDisplayDataModule(self.dm)
+
     # ------------------------------------------------------------------ #
 
     def init_state(self, seed: int = 0) -> TrainState:
@@ -202,6 +222,13 @@ class Trainer:
                 include_input_metrics=input_metrics_pending,
             )
             input_metrics_pending = False  # one-shot (model.py:132-142)
+
+            if self.image_logger is not None and self.image_logger.should_log(epoch):
+                db = self._display.prepared_batch()
+                preds = np.asarray(self._apply(state.params, jnp.asarray(db["lr"])))
+                self.image_logger.log_batch(
+                    epoch, np.asarray(db["lr"]), preds, db["hr"]
+                )
             val_loss = val_logs["val/loss"]
 
             self.ckpt.save(epoch + 1, jax.device_get(state), val_loss)
