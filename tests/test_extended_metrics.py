@@ -1,0 +1,114 @@
+"""Extended metric suite: identity/ordering/range properties + torch GMSD check."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from xmm_superres_denoise_tpu.metrics.extended import (
+    fsim_per_image,
+    gmsd_per_image,
+    haarpsi_per_image,
+    mdsi_per_image,
+    ms_gmsd_per_image,
+    vif_p_per_image,
+)
+
+
+def _pair(shape=(2, 96, 96, 1), seed=0, noise=0.05):
+    g = np.random.default_rng(seed)
+    # structured image (gradients matter for these metrics)
+    yy, xx = np.mgrid[0 : shape[1], 0 : shape[2]]
+    base = 0.5 + 0.3 * np.sin(xx / 7.0) * np.cos(yy / 11.0)
+    t = np.stack([base + 0.05 * g.random(shape[1:3]) for _ in range(shape[0])])
+    t = np.clip(t, 0, 1).astype(np.float32)[..., None]
+    p = np.clip(t + g.normal(0, noise, t.shape), 0, 1).astype(np.float32)
+    return jnp.asarray(p), jnp.asarray(t)
+
+
+def _torch_gmsd(p, t):
+    """Independent torch statement of the piq GMSD algorithm (NCHW)."""
+    def pool(z):
+        pad = max(z.shape[-2] % 2, z.shape[-1] % 2)
+        if pad:
+            z = F.pad(z, (0, pad, 0, pad))
+        return F.avg_pool2d(z, 2)
+
+    p, t = pool(p), pool(t)
+    k = torch.tensor([[-1.0, 0, 1], [-1, 0, 1], [-1, 0, 1]]) / 3.0
+    ks = torch.stack([k, k.t()]).unsqueeze(1)
+    gp = torch.sqrt((F.conv2d(p, ks, padding=1) ** 2).sum(1, keepdim=True) + 1e-12)
+    gt = torch.sqrt((F.conv2d(t, ks, padding=1) ** 2).sum(1, keepdim=True) + 1e-12)
+    c = 170.0 / (255.0**2)
+    gms = (2 * gp * gt + c) / (gp**2 + gt**2 + c)
+    mean = gms.mean(dim=[1, 2, 3], keepdim=True)
+    return ((gms - mean) ** 2).mean(dim=[1, 2, 3]).sqrt()
+
+
+def test_gmsd_matches_torch():
+    p, t = _pair(seed=1)
+    ours = np.asarray(gmsd_per_image(p, t))
+    ref = _torch_gmsd(
+        torch.from_numpy(np.asarray(p).transpose(0, 3, 1, 2)),
+        torch.from_numpy(np.asarray(t).transpose(0, 3, 1, 2)),
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "fn,identity",
+    [
+        (gmsd_per_image, 0.0),  # deviation metric: 0 at identity
+        (ms_gmsd_per_image, 0.0),
+        (haarpsi_per_image, 1.0),  # similarity: 1 at identity
+        (fsim_per_image, 1.0),
+        (vif_p_per_image, 1.0),
+    ],
+)
+def test_identity_values(fn, identity):
+    _, t = _pair(seed=2)
+    val = np.asarray(fn(t, t))
+    np.testing.assert_allclose(val, identity, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "fn,higher_better",
+    [
+        (gmsd_per_image, False),
+        (ms_gmsd_per_image, False),
+        (haarpsi_per_image, True),
+        (fsim_per_image, True),
+        (vif_p_per_image, True),
+        (mdsi_per_image, False),  # deviation-pooled: lower is better
+    ],
+)
+def test_noise_ordering(fn, higher_better):
+    p_small, t = _pair(seed=3, noise=0.02)
+    p_big, _ = _pair(seed=3, noise=0.15)
+    v_small = float(np.mean(np.asarray(fn(p_small, t))))
+    v_big = float(np.mean(np.asarray(fn(p_big, t))))
+    if higher_better:
+        assert v_small > v_big
+    else:
+        assert v_small < v_big
+
+
+def test_mdsi_identity_near_zero():
+    _, t = _pair(seed=4)
+    val = np.asarray(mdsi_per_image(t, t))
+    assert np.all(val < 0.05)
+
+
+def test_collection_with_extended_names():
+    from xmm_superres_denoise_tpu.metrics import get_ext_metrics
+    from xmm_superres_denoise_tpu.ops.stretch import Normalizer
+
+    nz = Normalizer(1.0, 1.0, "linear")
+    coll = get_ext_metrics(nz, [nz], prefix="test")
+    state = coll.init()
+    p, t = _pair(seed=5)
+    state = coll.update(state, p, t)
+    out = coll.compute(state)
+    assert "test/linear/fsim" in out and "test/linear/vif_p" in out
+    assert all(np.isfinite(v) for v in out.values())

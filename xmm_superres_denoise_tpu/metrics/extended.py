@@ -7,8 +7,8 @@ images at test time (`xmm_metric_collection.py:41-61`). piq is not available
 here; these are from-scratch implementations of the published algorithms with
 piq's constants so scores are comparable.
 
-Implemented: GMSD, MS-GMSD, HaarPSI, MDSI, VIF-p. FSIM (phase congruency via
-log-Gabor filter banks) is tracked for a later round.
+Implemented: GMSD, MS-GMSD, HaarPSI, MDSI, VIF-p, and FSIM (phase
+congruency via a precomputed log-Gabor filter bank + on-device FFTs).
 
 All are per-image functions on NHWC batches returning (N,) scores, wired into
 `collection.MetricBank` via `register_extended_metrics()`.
@@ -16,6 +16,7 @@ All are per-image functions on NHWC batches returning (N,) scores, wired into
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -297,10 +298,144 @@ def _conv2d_valid(x: Array, kernel2d: np.ndarray | Array) -> Array:
 
 
 # --------------------------------------------------------------------------- #
+# FSIM (Zhang et al. 2011): phase congruency + gradient similarity.
+# --------------------------------------------------------------------------- #
+
+
+@lru_cache(maxsize=None)
+def _log_gabor_bank(
+    h: int,
+    w: int,
+    scales: int = 4,
+    orientations: int = 4,
+    min_length: int = 6,
+    mult: float = 2.0,
+    sigma_f: float = 0.55,
+    delta_theta: float = 1.2,
+) -> np.ndarray:
+    """Frequency-domain log-Gabor filters, shape (orients, scales, h, w).
+
+    Kovesi's construction with piq.fsim's constants: radial log-Gabor at
+    wavelengths min_length * mult^s with a 15th-order Butterworth lowpass at
+    0.45, angular Gaussian of sigma pi/orientations/delta_theta.
+    """
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    r = np.sqrt(fx**2 + fy**2)
+    theta = np.arctan2(-fy, fx)
+    r[0, 0] = 1.0  # avoid log(0); the DC entry is zeroed below
+
+    lowpass = 1.0 / (1.0 + (r / 0.45) ** (2 * 15))
+    radials = []
+    for s in range(scales):
+        wavelength = min_length * mult**s
+        f0 = 1.0 / wavelength
+        rad = np.exp(-(np.log(r / f0) ** 2) / (2 * np.log(sigma_f) ** 2))
+        rad *= lowpass
+        rad[0, 0] = 0.0
+        radials.append(rad)
+
+    sin_t, cos_t = np.sin(theta), np.cos(theta)
+    theta_sigma = np.pi / orientations / delta_theta
+    bank = np.empty((orientations, scales, h, w), np.float32)
+    for o in range(orientations):
+        angle = o * np.pi / orientations
+        ds = sin_t * np.cos(angle) - cos_t * np.sin(angle)
+        dc = cos_t * np.cos(angle) + sin_t * np.sin(angle)
+        dtheta = np.abs(np.arctan2(ds, dc))
+        spread = np.exp(-(dtheta**2) / (2 * theta_sigma**2))
+        for s in range(scales):
+            bank[o, s] = (radials[s] * spread).astype(np.float32)
+    return bank
+
+
+def _phase_congruency(
+    x: Array,
+    scales: int = 4,
+    orientations: int = 4,
+    min_length: int = 6,
+    mult: float = 2.0,
+    k: float = 2.0,
+) -> Array:
+    """Kovesi PC2 phase-congruency map for NHWC single-channel x -> (N,H,W)."""
+    eps = 1e-8
+    n, h, w, _ = x.shape
+    bank = jnp.asarray(_log_gabor_bank(h, w, scales, orientations, min_length, mult))
+    fx = jnp.fft.fft2(x[..., 0].astype(jnp.float32))  # (N, H, W)
+
+    pc_sum = jnp.zeros((n, h, w))
+    for o in range(orientations):
+        eo = jnp.fft.ifft2(fx[:, None] * bank[o][None])  # (N, scales, H, W)
+        an = jnp.abs(eo)
+        sum_e = jnp.sum(eo.real, axis=1)
+        sum_o = jnp.sum(eo.imag, axis=1)
+        sum_an = jnp.sum(an, axis=1)
+        energy = jnp.sqrt(sum_e**2 + sum_o**2)
+
+        # Rayleigh noise threshold from the smallest-scale response
+        abs_eo0 = an[:, 0].reshape(n, -1)
+        tau = jnp.median(abs_eo0, axis=-1) / jnp.sqrt(jnp.log(4.0))
+        total_tau = tau * (1.0 - (1.0 / mult) ** scales) / (1.0 - 1.0 / mult)
+        noise_mean = total_tau * jnp.sqrt(jnp.pi / 2.0)
+        noise_sigma = total_tau * jnp.sqrt((4.0 - jnp.pi) / 2.0)
+        T = (noise_mean + k * noise_sigma)[:, None, None]
+
+        pc_sum = pc_sum + jnp.maximum(energy - T, 0.0) / (sum_an + eps)
+    return pc_sum
+
+
+_SCHARR = np.array(
+    [[[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]]], np.float32
+) / 16.0
+_SCHARR_XY = np.concatenate([_SCHARR, _SCHARR.transpose(0, 2, 1)], axis=0)
+
+
+def fsim_per_image(
+    preds: Array,
+    target: Array,
+    data_range: float = 1.0,
+    t1: float = 0.85,
+    t2: float = 160.0,
+) -> Array:
+    """Feature Similarity Index (piq.fsim semantics, chromatic=False).
+
+    255-scale, content-adaptive average-pool downsampling, phase-congruency
+    similarity x Scharr-gradient similarity, PC-max weighted pooling.
+    Identity inputs score exactly 1; absolute values may deviate slightly
+    from piq's (different PC numerics), relative ordering is preserved.
+    """
+    x = preds / data_range * 255.0
+    y = target / data_range * 255.0
+
+    h, w = x.shape[1], x.shape[2]
+    kk = max(1, round(min(h, w) / 256))
+    if kk > 1:
+        n = x.shape[0]
+        hp, wp = (h // kk) * kk, (w // kk) * kk
+        x = x[:, :hp, :wp, :].reshape(n, hp // kk, kk, wp // kk, kk, 1).mean(axis=(2, 4))
+        y = y[:, :hp, :wp, :].reshape(n, hp // kk, kk, wp // kk, kk, 1).mean(axis=(2, 4))
+
+    pc_x = _phase_congruency(x)
+    pc_y = _phase_congruency(y)
+
+    gx = _gradient_magnitude(x, _SCHARR_XY)[..., 0]
+    gy = _gradient_magnitude(y, _SCHARR_XY)[..., 0]
+
+    s_pc = (2.0 * pc_x * pc_y + t1) / (pc_x**2 + pc_y**2 + t1)
+    s_g = (2.0 * gx * gy + t2) / (gx**2 + gy**2 + t2)
+    s_l = s_pc * s_g
+    pc_m = jnp.maximum(pc_x, pc_y)
+
+    num = jnp.sum((s_l * pc_m).reshape(s_l.shape[0], -1), axis=-1)
+    den = jnp.sum(pc_m.reshape(pc_m.shape[0], -1), axis=-1)
+    return num / jnp.maximum(den, 1e-12)
+
+
+# --------------------------------------------------------------------------- #
 # Registration with the accumulating MetricBank
 # --------------------------------------------------------------------------- #
 
-EXT_METRIC_NAMES = ("vif_p", "gmsd", "ms_gmsd", "haarpsi", "msdi")
+EXT_METRIC_NAMES = ("vif_p", "fsim", "gmsd", "ms_gmsd", "haarpsi", "msdi")
 # key "msdi" (sic) follows the reference's collection key (xmm_metric_collection.py:53).
 
 
@@ -319,6 +454,7 @@ def register_extended_metrics() -> None:
 
         return upd
 
+    _c._UPDATES.setdefault("fsim", _make(fsim_per_image))
     _c._UPDATES.setdefault("gmsd", _make(gmsd_per_image))
     _c._UPDATES.setdefault("ms_gmsd", _make(ms_gmsd_per_image))
     _c._UPDATES.setdefault("haarpsi", _make(haarpsi_per_image))
