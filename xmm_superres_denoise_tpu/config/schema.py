@@ -120,7 +120,13 @@ class DatasetCfg(BaseModel):
 
     def _mode_dir(self, mode: ImageType) -> Path:
         if self.type is DatasetType.SIM:
-            return self.directory / self.name / mode.value
+            d = self.directory / self.name / mode.value
+            if mode is ImageType.BKG and not d.exists():
+                # the shipped example data names this directory "background"
+                alt = self.directory / self.name / "background"
+                if alt.exists():
+                    return alt
+            return d
         if mode is ImageType.IMG and self.type is DatasetType.REAL:
             return self.directory / self.name
         raise ConfigError(
