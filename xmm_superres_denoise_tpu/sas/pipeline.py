@@ -280,3 +280,21 @@ def make_detxy_image(
 
         write_image(out, img, hdr)
     return out
+
+
+def get_pps_nxsa(obs_id: str, w_dir: Path) -> PPSFiles:
+    """Download PPS products for an OBS_ID from the XMM-Newton archive
+    (reference get_pps_nxsa, xmmsas_tools.py:61-96, astroquery-backed).
+
+    This environment is zero-egress; the function validates a pre-downloaded
+    `<w_dir>/<obs_id>/pps` directory instead and raises with instructions
+    when it is absent.
+    """
+    pps_dir = Path(w_dir) / obs_id / "pps"
+    if pps_dir.is_dir():
+        return check_pps_dir(pps_dir)
+    raise RuntimeError(
+        f"No network access to the NXSA archive: place the PPS products for "
+        f"OBS_ID {obs_id} under {pps_dir} (e.g. from "
+        f"https://nxsa.esac.esa.int/nxsa-web) and retry."
+    )

@@ -239,11 +239,22 @@ class Trainer:
             entry = {"epoch": epoch, "train/loss": train_loss, **val_logs,
                      "time_s": time.time() - t0}
             result.history.append(entry)
+            self._append_history(entry)
             log.info(
                 "epoch %d: train/loss=%.5f val/loss=%.5f (%.1fs)",
                 epoch, train_loss, val_loss, entry["time_s"],
             )
         return result
+
+    def _append_history(self, entry) -> None:
+        """JSONL metric log next to the checkpoints (the reference's
+        Lightning CSV/W&B scalar channel, model.py:111-151)."""
+        import json
+
+        path = self.ckpt.root / "history.jsonl"
+        with open(path, "a") as f:
+            f.write(json.dumps({k: (float(v) if hasattr(v, "__float__") else v)
+                                for k, v in entry.items()}) + "\n")
 
     def test(
         self,
