@@ -286,3 +286,41 @@ def write_onnx_initializers(
     path = Path(path)
     path.write_bytes(model)
     return path
+
+
+def _flax_to_torch_name(path: str) -> str:
+    """Inverse of :func:`_normalize_torch_name` for the RRDB models."""
+    parts = path.split("/")
+    leaf = {"kernel": "weight", "bias": "bias"}[parts[-1]]
+    mods = parts[:-1]
+    out: List[str] = []
+    i = 0
+    while i < len(mods):
+        m = mods[i]
+        if m == "trunk":
+            pass  # flattened away in torch naming
+        elif m.startswith("rrdb_"):
+            out.extend(["rrdb", m.split("_")[1]])
+        elif m.startswith("upconv_"):
+            out.extend(["upsampling", str(int(m.split("_")[1]) * 3)])
+        else:
+            out.append(m)
+        i += 1
+    return ".".join(out + [leaf])
+
+
+def export_onnx_params(params: Any, path: Union[str, Path]) -> Path:
+    """Export a Flax RRDB parameter pytree as ONNX initializers with torch
+    state-dict naming (HWIO -> OIHW), interchangeable with the reference's
+    shipped checkpoint format."""
+    if "params" in params:
+        params = params["params"]
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    tensors: Dict[str, np.ndarray] = {}
+    for keypath, leaf in flat:
+        name = _flax_to_torch_name(_flax_path(keypath))
+        arr = np.asarray(leaf)
+        if arr.ndim == 4:  # HWIO -> OIHW
+            arr = np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+        tensors[name] = arr
+    return write_onnx_initializers(path, tensors)
