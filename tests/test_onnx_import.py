@@ -127,3 +127,21 @@ def test_rrdb_matches_torch_via_onnx(tmp_path, sr):
     ref = _torch_forward(sd, torch.from_numpy(x_np), sr).numpy()
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """Flax params -> ONNX (torch-named) -> Flax params is the identity."""
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.infer.onnx_import import export_onnx_params
+
+    model = GeneratorRRDB_SR(num_filters=NF, num_res_blocks=NB, num_upsample=1)
+    template = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 1)))
+    path = export_onnx_params(template, tmp_path / "export.onnx")
+
+    back = import_onnx_params(path, template["params"])
+    for (kp1, a), (kp2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(template["params"])[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
