@@ -207,6 +207,23 @@ class Trainer:
         result = FitResult(best_val_loss=float("inf"), best_step=-1)
         input_metrics_pending = True
 
+        try:
+            return self._fit_epochs(
+                state, start_epoch, epochs, result, input_metrics_pending
+            )
+        except KeyboardInterrupt:
+            # Failure handling (SURVEY.md §5.3): every epoch is checkpointed,
+            # so an interrupt loses at most the current epoch — surface how
+            # to resume rather than dying silently.
+            done = start_epoch + len(result.history)
+            log.warning(
+                "Interrupted at epoch %d — resume with checkpoint_path set "
+                "(latest saved step: %s)", done, self.ckpt.latest_step(),
+            )
+            raise
+
+    def _fit_epochs(self, state, start_epoch, epochs, result,
+                    input_metrics_pending) -> FitResult:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_losses = []
