@@ -25,7 +25,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config.schema import DatasetCfg, DatasetType
-from ..io.fits import load_fits, read_image
+from ..io.fits import read_image
+from .native_loader import load_fits_fast as load_fits
 from .catalog import SPLIT_KEY_REAL, SPLIT_KEY_SIM, Catalog, build_catalog, find_img_dirs, find_img_files
 
 Sample = Tuple[np.ndarray, Optional[np.ndarray]]  # raw (1,H,W) lr, hr
