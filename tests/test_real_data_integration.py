@@ -125,3 +125,38 @@ def test_train_step_on_real_data(sim_tree, tmp_path):
     batch = next(iter(trainer.dm.loader("train", mesh=trainer.mesh)))
     state2, loss = trainer._train_step(state, batch)
     assert np.isfinite(float(loss))
+
+
+REAL = Path("/root/reference/data/example_data/real")
+
+
+@pytest.mark.skipif(not REAL.exists(), reason="reference example data unavailable")
+def test_real_dataset_pipeline(tmp_path):
+    """Real exposure-split dataset: catalog over obsid base names, no HR."""
+    cfg = DatasetCfg(
+        agn=0,
+        batch_size=2,
+        check_files=False,
+        debug=True,
+        comb_hr=False,
+        crop_mode="center",
+        directory=REAL.parent,
+        mode="img",
+        name="real",
+        scaling="sqrt",
+        type="real",
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=416),
+        hr=None,
+    )
+    dm = XmmDataModule(cfg, splits_root=tmp_path / "splits", seed=0)
+    assert dm.dataset.catalog.base_name_count >= 4
+    lr_raw, hr_raw = dm.dataset[0]
+    assert lr_raw.shape == (1, 411, 403)
+    assert hr_raw is None
+
+    batch = next(iter(dm.loader("train", batch_size=2)))
+    assert batch["lr"].shape == (2, 416, 416, 1)
+    # without HR the loader mirrors the input as the target
+    assert batch["hr"].shape == (2, 416, 416, 1)
+    # splits persisted with the reference's real layout ({exp}ks.p leaf)
+    assert (tmp_path / "splits" / "real" / "train" / "20ks.p").exists()
