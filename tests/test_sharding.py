@@ -1,0 +1,103 @@
+"""Sharding/parallelism: DP + FSDP over the 8-device CPU mesh, incl. transformers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from xmm_superres_denoise_tpu.config import LossCfg
+from xmm_superres_denoise_tpu.models import SwinIR, Restormer
+from xmm_superres_denoise_tpu.parallel import (
+    fsdp_spec,
+    make_mesh,
+    pad_batch_to_devices,
+    place_params,
+    replicate,
+    shard_batch,
+)
+from xmm_superres_denoise_tpu.train import (
+    TrainState,
+    create_loss,
+    make_fsdp_train_step,
+    make_train_step,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, fsdp=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["fsdp"] == 2
+    mesh = make_mesh(data="auto", fsdp=1)
+    assert mesh.shape["data"] == 8
+
+
+def test_fsdp_spec_rules():
+    assert fsdp_spec((16,), 2) == P()  # tiny -> replicated
+    assert fsdp_spec((1024, 512), 2, min_size=0) == P("fsdp", None)
+    assert fsdp_spec((3, 513), 2, min_size=0) == P()  # nothing divisible
+
+
+def test_pad_batch():
+    batch = {"lr": np.zeros((5, 4, 4, 1), np.float32)}
+    padded, valid = pad_batch_to_devices(batch, 8)
+    assert padded["lr"].shape[0] == 8 and valid == 5
+
+
+def test_swinir_dp_train_step():
+    """Transformer DP step over the 8-device mesh (shifted windows active)."""
+    mesh = make_mesh(data=8)
+    model = SwinIR(
+        img_size=16, patch_size=1, in_chans=1, embed_dim=8, depths=(2,),
+        num_heads=(2,), window_size=4, mlp_ratio=1.0, upscale=1, upsampler="",
+        drop_path_rate=0.0,
+    )
+    loss_fn = create_loss(None, LossCfg(l1=1.0))
+    tx = optax.adam(1e-4)
+
+    def apply_fn(p, x):
+        return jnp.clip(model.apply(p, x), 0.0, 1.0)
+
+    step = make_train_step(apply_fn, loss_fn, tx, mesh, donate=False)
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.uniform(0, 1, (8, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    state = replicate(mesh, TrainState.create(params, tx))
+    batch = shard_batch(mesh, {"lr": x, "hr": x})
+    state2, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+
+
+def test_restormer_fsdp_step():
+    """GSPMD FSDP step: Restormer params sharded over the fsdp axis."""
+    mesh = make_mesh(data=4, fsdp=2)
+    model = Restormer(
+        inp_channels=1, out_channels=1, dim=8, num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1, heads=(1, 2, 4, 8),
+    )
+    loss_fn = create_loss(None, LossCfg(l1=1.0))
+    tx = optax.adam(1e-4)
+
+    def apply_fn(p, x):
+        return jnp.clip(model.apply(p, x), 0.0, 1.0)
+
+    g = np.random.default_rng(1)
+    x = jnp.asarray(g.uniform(0, 1, (4, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:1])
+    params = place_params(params, mesh)
+    state = TrainState(
+        replicate(mesh, jnp.zeros((), jnp.int32)),
+        params,
+        place_params(tx.init(params), mesh),
+    )
+    step = make_fsdp_train_step(apply_fn, loss_fn, tx)
+    batch = shard_batch(mesh, {"lr": x, "hr": x, "weight": jnp.ones((4,))})
+    state2, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    # params actually sharded: at least one leaf carries the fsdp axis
+    specs = [
+        getattr(l.sharding, "spec", None)
+        for l in jax.tree_util.tree_leaves(state2.params)
+    ]
+    assert any(s is not None and "fsdp" in str(s) for s in specs)
