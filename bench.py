@@ -6,56 +6,42 @@ Baseline target: >=500 tiles/sec (BASELINE.md), vs_baseline = value / 500.
 Measures the flagship inference path (GeneratorRRDB_SR, production config:
 32 filters x 4 RRDB blocks, 416^2 -> 832^2, bf16). Two candidate pipelines:
 
-  * fused: the Pallas space-to-depth RRDB trunk
-    (xmm_superres_denoise_tpu/ops/pallas_rrdb.py) — one kernel per dense
-    block, 128-lane channels;
+  * fused: Pallas space-to-depth RRDB trunk (ops/pallas_rrdb.py) — one
+    kernel per dense block, 128-lane channels;
   * xla: the plain jitted Flax forward.
 
-The faster (or the one that compiles) wins; the choice is reported on stderr.
+Each pipeline runs in a SUBPROCESS with its own wall-clock budget (remote
+Mosaic compilation through the dev tunnel can stall); the faster survivor
+wins and is reported on stderr.
 
 Timing note: the dev TPU sits behind a network tunnel where
 `block_until_ready` does not reliably await remote completion and every
-host readback pays a large RTT. The benchmark therefore chains N forwards
-inside ONE jitted fori_loop with a data dependency between iterations
-(preventing hoisting/elision) and times a single scalar readback — the
-measured window is device time plus one RTT, amortized over N*batch tiles.
+host readback pays a large RTT. Timing therefore chains N forwards inside
+ONE jitted fori_loop with a data dependency between iterations (preventing
+hoisting/elision) and times a single scalar readback.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 BASELINE_TILES_PER_SEC = 500.0
 BATCH = 8
 CHAIN = 10
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "420"))
 
 
-def _timed(forward, x) -> float:
-    def chain(x):
-        def body(i, acc):
-            y = forward(x + acc.astype(x.dtype) * 1e-8)
-            return acc + jnp.sum(y[:, :2, :2, :].astype(jnp.float32)) * 1e-24
+def _run_pipeline(pipeline: str) -> float:
+    """Executed in the child process: prints one float (tiles/s)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
 
-        return lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
-
-    f = jax.jit(chain)
-    float(f(x))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(f(x))
-        best = min(best, time.perf_counter() - t0)
-    return BATCH * CHAIN / best
-
-
-def main() -> None:
     from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
 
     model = GeneratorRRDB_SR(
@@ -67,27 +53,56 @@ def main() -> None:
         np.random.default_rng(0).uniform(0, 1, (BATCH, 416, 416, 1)), jnp.bfloat16
     )
 
-    results = {}
-
-    bf16_params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16), params
-    )
-
-    def xla_forward(x):
-        return jnp.clip(model.apply(bf16_params, x), 0.0, 1.0)
-
-    try:
+    if pipeline == "fused":
         from xmm_superres_denoise_tpu.ops.pallas_rrdb import make_fast_rrdb_forward
 
-        fused = make_fast_rrdb_forward(model, params, dtype=jnp.bfloat16)
-        results["fused"] = _timed(fused, x)
-    except Exception as e:  # pallas path unavailable on this backend
-        print(f"bench: fused path failed ({type(e).__name__}: {e})", file=sys.stderr)
+        forward = make_fast_rrdb_forward(model, params, dtype=jnp.bfloat16)
+    else:
+        bf16_params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), params
+        )
 
-    try:
-        results["xla"] = _timed(xla_forward, x)
-    except Exception as e:
-        print(f"bench: xla path failed ({type(e).__name__}: {e})", file=sys.stderr)
+        def forward(x):
+            return jnp.clip(model.apply(bf16_params, x), 0.0, 1.0)
+
+    def chain_fn(x):
+        def body(i, acc):
+            y = forward(x + acc.astype(x.dtype) * 1e-8)
+            return acc + jnp.sum(y[:, :2, :2, :].astype(jnp.float32)) * 1e-24
+
+        return lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+    f = jax.jit(chain_fn)
+    float(f(x))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    print(BATCH * CHAIN / best)
+
+
+def main() -> None:
+    results = {}
+    for pipeline in ("fused", "xla"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline", pipeline],
+                capture_output=True,
+                timeout=PIPELINE_BUDGET_S,
+            )
+            if proc.returncode == 0:
+                results[pipeline] = float(proc.stdout.strip().splitlines()[-1])
+            else:
+                print(
+                    f"bench: {pipeline} failed: "
+                    f"{proc.stderr.decode(errors='replace')[-300:]}",
+                    file=sys.stderr,
+                )
+        except subprocess.TimeoutExpired:
+            print(f"bench: {pipeline} exceeded {PIPELINE_BUDGET_S}s", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: {pipeline} error: {e}", file=sys.stderr)
 
     if not results:
         raise SystemExit("no benchmark path succeeded")
@@ -107,4 +122,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--pipeline":
+        _run_pipeline(sys.argv[2])
+    else:
+        main()
