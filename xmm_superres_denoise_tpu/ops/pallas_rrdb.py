@@ -1,23 +1,29 @@
 """Pallas TPU kernel: fused RRDB residual-dense-block (5 convs, one kernel).
 
-Performance rationale (measured on v5e): XLA executes each 3x3 conv of the
-RRDB trunk in ~3 ms at (8, 416, 416) REGARDLESS of input channel count
-(32->32 and 160->32 cost the same), i.e. the model is per-op overhead /
-layout-padding bound, not FLOP bound — 64 convs x 3 ms dominate the forward.
-This kernel computes one whole `ResidualDenseBlock5C`
-(`models/rrdb.py`, reference rrdb_blocks.py:22-54) per grid cell:
+Performance rationale (measured on v5e, see docs/PERFORMANCE.md): XLA
+executes EVERY 3x3 conv at these spatial sizes in ~3 ms regardless of
+channel count or FLOPs (32->32 and 160->32 at 416^2 both ~3.0 ms; 128->128
+and 640->128 at 208^2 both ~3.1 ms, the latter at 159 TFLOP/s) — the model
+is per-op-overhead bound, and its forward contains ~64 convs. This kernel
+computes one whole `ResidualDenseBlock5C` (models/rrdb.py, reference
+rrdb_blocks.py:22-54) per grid cell:
 
-  * the input tile is DMA'd from HBM once with a 5-pixel halo (5 sequential
-    VALID convs shrink by 1 each),
-  * every conv runs as 9 shifted (M, Cin) @ (Cin, 32) MXU matmuls with f32
-    accumulation, entirely in VMEM,
-  * dense concats never materialize: conv over [x, x1, ...] is the sum of
-    per-source matmuls with the kernel's channel slices,
-  * only the (tile, 32) result is written back (0.2-scaled residual add).
+  * the input tile is DMA'd from HBM once with an 8-pixel halo margin
+    (Mosaic slices must be 8-aligned; 5 VALID convs need halo 5),
+  * dense levels accumulate into ONE VMEM concat buffer (tile, 5C): each
+    conv is 9 static-tap (M, k*C) @ (k*C, C) MXU matmuls over the buffer's
+    channel prefix — concats never touch HBM,
+  * levels stay full-tile-size: each conv's VALID output is re-padded by a
+    zero ring; the garbage that accumulates in the outer ring stays inside
+    the 8-pixel margin and is never consumed by the retained center,
+  * per-level masking beyond the TRUE image bounds reproduces the SAME-conv
+    zero padding of the reference graph exactly,
+  * only the (tile, C) result is written back (0.2-scaled residual add).
 
-HBM traffic per block drops from ~12 tensor reads/writes to 1 read + 1
-write. The kernel is inference-oriented (no custom VJP yet); training uses
-the XLA graph path.
+Designed for the space-to-depth domain (ops/space_to_depth.py): C = 128
+keeps every DMA slice and matmul 128-lane aligned. HBM traffic per block
+drops from ~12 tensor reads/writes to 1 + 1. Inference-oriented (no custom
+VJP yet); training uses the XLA graph path.
 """
 
 from __future__ import annotations
@@ -34,25 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 HALO = 5  # 5 VALID 3x3 convs deep
-MARGIN = 8  # DMA'd halo margin: Mosaic requires 8-aligned slice sizes on the
-# sublane axis, so we round the 5-pixel halo up to 8 and center-crop at the end
-
-
-def _conv_tap_matmuls(
-    src: Array, w: Array, out_h: int, out_w: int, acc: Array
-) -> Array:
-    """acc += VALID 3x3 conv of `src` with `w` ((3,3,Cin,32)) as 9 matmuls.
-
-    src: (h, w, Cin) with h >= out_h + 2, w >= out_w + 2. acc: (out_h*out_w, 32) f32.
-    """
-    cin = src.shape[-1]
-    for dy in range(3):
-        for dx in range(3):
-            patch = src[dy : dy + out_h, dx : dx + out_w, :].reshape(-1, cin)
-            acc = acc + jnp.dot(
-                patch, w[dy, dx], preferred_element_type=jnp.float32
-            )
-    return acc
+MARGIN = 8  # DMA'd halo margin (8-aligned slice sizes; >= HALO)
 
 
 def _lrelu(x: Array) -> Array:
@@ -65,105 +53,74 @@ def _make_dense_block_kernel(img_h: int, img_w: int):
 
     def kernel(
         x_ref,  # (B, Hp+2*MARGIN, Wp+2*MARGIN, C) in ANY/HBM
-        w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+        w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,  # VMEM: w_k (3,3,k*C,C)
         out_ref,  # (1, TH, TW, C) VMEM block
-        scratch,  # (TH+2*MARGIN, TW+2*MARGIN, C) VMEM
+        buf,  # (TH+2M, TW+2M, 5C) VMEM concat buffer
         sem,
     ):
-        return _dense_block_kernel_body(
-            img_h, img_w, x_ref,
-            w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
-            out_ref, scratch, sem,
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        th = out_ref.shape[1]
+        tw = out_ref.shape[2]
+        nf = out_ref.shape[-1]
+        h0 = th + 2 * MARGIN
+        w0 = tw + 2 * MARGIN
+
+        copy = pltpu.make_async_copy(
+            x_ref.at[
+                bi,
+                pl.ds(i * th, h0),
+                pl.ds(j * tw, w0),
+                :,
+            ],
+            buf.at[:, :, 0:nf],
+            sem,
         )
+        copy.start()
+        copy.wait()
+
+        dt = buf.dtype
+
+        def mask_full(a):
+            """Zero positions outside the true image (SAME zero-pad parity)."""
+            rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * th - MARGIN
+            cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * tw - MARGIN
+            keep = (rows >= 0) & (rows < img_h) & (cols >= 0) & (cols < img_w)
+            return jnp.where(keep, a, jnp.zeros((), a.dtype))
+
+        weights = ((w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5))
+        y = None
+        for level in range(1, 6):
+            cin = level * nf
+            w_ref, b_ref = weights[level - 1]
+            w = w_ref[:].astype(dt)  # (3, 3, cin, nf)
+            src = buf[:, :, 0:cin]  # (h0, w0, cin)
+            acc = jnp.zeros(((h0 - 2) * (w0 - 2), nf), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    patch = src[dy : dy + h0 - 2, dx : dx + w0 - 2, :]
+                    acc = acc + jnp.dot(
+                        patch.reshape(-1, cin),
+                        w[dy, dx],
+                        preferred_element_type=jnp.float32,
+                    )
+            acc = acc + b_ref[:].astype(jnp.float32)
+            y = acc.reshape(h0 - 2, w0 - 2, nf)
+            if level < 5:
+                y = _lrelu(y)
+                full = jnp.pad(y.astype(dt), ((1, 1), (1, 1), (0, 0)))
+                buf[:, :, level * nf : (level + 1) * nf] = mask_full(full)
+
+        # y: level-5 pre-activation at (h0-2, w0-2); center-crop to the tile
+        off = MARGIN - 1
+        x5 = y[off : off + th, off : off + tw, :]
+        center = buf[MARGIN : MARGIN + th, MARGIN : MARGIN + tw, 0:nf].astype(
+            jnp.float32
+        )
+        out_ref[0] = (x5 * 0.2 + center).astype(dt)
 
     return kernel
-
-
-def _dense_block_kernel_body(
-    img_h, img_w, x_ref,
-    w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
-    out_ref, scratch, sem,
-):
-    bi = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    th = out_ref.shape[1]
-    tw = out_ref.shape[2]
-
-    copy = pltpu.make_async_copy(
-        x_ref.at[
-            bi,
-            pl.ds(i * th, th + 2 * MARGIN),
-            pl.ds(j * tw, tw + 2 * MARGIN),
-            :,
-        ],
-        scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
-    nf = out_ref.shape[-1]
-    h0 = th + 2 * MARGIN
-    w0 = tw + 2 * MARGIN
-    x0 = scratch[:]
-    dt = x0.dtype
-
-    def conv_multi(sources, w_ref, b_ref, out_h, out_w):
-        acc = jnp.zeros((out_h * out_w, nf), jnp.float32)
-        w = w_ref[:].astype(dt)
-        off = 0
-        for s in sources:
-            acc = _conv_tap_matmuls(s, w[:, :, off : off + nf, :], out_h, out_w, acc)
-            off += nf
-        acc = acc + b_ref[:].astype(jnp.float32)
-        return acc.reshape(out_h, out_w, nf)
-
-    def crop(a, k):
-        return a[k : a.shape[0] - k, k : a.shape[1] - k, :]
-
-    # SAME-conv equivalence: the per-level zero padding of the SAME graph
-    # means every intermediate is ZERO outside the image. On the extended
-    # (halo) domain that translates to masking each level's activations at
-    # positions beyond the TRUE image bounds (also zeroing the pad-to-tile
-    # apron).
-    def mask_level(a, k):
-        rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * th + k - MARGIN
-        cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * tw + k - MARGIN
-        keep = (rows >= 0) & (rows < img_h) & (cols >= 0) & (cols < img_w)
-        return jnp.where(keep, a, jnp.zeros((), a.dtype))
-
-    x1 = mask_level(
-        _lrelu(conv_multi([x0], w1, b1, h0 - 2, w0 - 2)).astype(dt), 1
-    )
-    x2 = mask_level(
-        _lrelu(conv_multi([crop(x0, 1), x1], w2, b2, h0 - 4, w0 - 4)).astype(dt), 2
-    )
-    x3 = mask_level(
-        _lrelu(
-            conv_multi([crop(x0, 2), crop(x1, 1), x2], w3, b3, h0 - 6, w0 - 6)
-        ).astype(dt),
-        3,
-    )
-    x4 = mask_level(
-        _lrelu(
-            conv_multi(
-                [crop(x0, 3), crop(x1, 2), crop(x2, 1), x3], w4, b4, h0 - 8, w0 - 8
-            )
-        ).astype(dt),
-        4,
-    )
-    x5 = conv_multi(
-        [crop(x0, 4), crop(x1, 3), crop(x2, 2), crop(x3, 1), x4],
-        w5,
-        b5,
-        h0 - 10,
-        w0 - 10,
-    )
-    extra = MARGIN - HALO  # center-crop the alignment margin back off
-    x5 = x5[extra : extra + th, extra : extra + tw, :]
-    center = crop(x0, MARGIN).astype(jnp.float32)
-    out_ref[0] = (x5 * 0.2 + center).astype(dt)
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -174,20 +131,20 @@ def dense_block_pallas(
     w3: Array, b3: Array,
     w4: Array, b4: Array,
     w5: Array, b5: Array,
-    tile: Tuple[int, int] = (104, 104),
+    tile: Tuple[int, int] = (56, 56),
     interpret: bool = False,
 ) -> Array:
     """Fused ResidualDenseBlock5C forward (SAME padding), NHWC.
 
-    x: (B, H, W, C); H, W divisible by the tile. Weights HWIO, conv_i taking
-    i*C input channels and producing C, matching models/rrdb.py.
+    x: (B, H, W, C); weights HWIO, conv_i taking i*C input channels and
+    producing C, matching models/rrdb.py. H/W are padded to tile multiples
+    internally (the kernel masks beyond the true bounds) and cropped back.
     """
     b, h, w, c = x.shape
     th, tw = tile
     assert (th + 2 * MARGIN) % 8 == 0 and (tw + 2 * MARGIN) % 8 == 0, (
         f"tile + 2*{MARGIN} must be 8-aligned for Mosaic DMA slices, got {tile}"
     )
-    # pad to tile multiples; the kernel masks beyond the true (h, w) bounds
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     xp = jnp.pad(
@@ -212,7 +169,7 @@ def dense_block_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * MARGIN, tw + 2 * MARGIN, c), x.dtype),
+            pltpu.VMEM((th + 2 * MARGIN, tw + 2 * MARGIN, 5 * c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -220,7 +177,7 @@ def dense_block_pallas(
     return out[:, :h, :w, :]
 
 
-def rrdb_pallas(x: Array, block_params, tile=(104, 104), interpret=False) -> Array:
+def rrdb_pallas(x: Array, block_params, tile=(56, 56), interpret=False) -> Array:
     """Full RRDB via three fused dense blocks: out*0.2 + x (rrdb_blocks.py:57-70).
 
     block_params: [dense_block_1, dense_block_2, dense_block_3], each a list
@@ -266,10 +223,10 @@ def make_fast_rrdb_forward(
 ):
     """Build an optimized jitted forward for GeneratorRRDB_{SR,DN}.
 
-    The trunk's 12 dense blocks (the FLOP/latency bulk) run as fused Pallas
-    kernels in the 2x2 space-to-depth domain (`ops/space_to_depth.py`):
-    128-lane channels, one HBM read+write per block. conv_first, trunk_conv
-    and the reconstruction head stay on XLA (4-5 ops). Exactly equivalent to
+    The trunk's dense blocks (the latency bulk) run as fused Pallas kernels
+    in the 2x2 space-to-depth domain (`ops/space_to_depth.py`): 128-lane
+    channels, one HBM read+write per block. conv_first, trunk_conv and the
+    reconstruction head stay on XLA (4-5 ops). Exactly equivalent to
     `model.apply` up to dtype.
     """
     from ..models.rrdb import GeneratorRRDB_SR
@@ -278,7 +235,6 @@ def make_fast_rrdb_forward(
     p = params["params"] if "params" in params else params
     trunk = p["trunk"]
     n_blocks = model.num_res_blocks
-    nf = model.num_filters
 
     def conv_w(node):
         return (
