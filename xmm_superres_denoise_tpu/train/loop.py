@@ -265,13 +265,22 @@ class Trainer:
 
     def _append_history(self, entry) -> None:
         """JSONL metric log next to the checkpoints (the reference's
-        Lightning CSV/W&B scalar channel, model.py:111-151)."""
+        Lightning CSV/W&B scalar channel, model.py:111-151); scalars are
+        forwarded to an active W&B run when the package is importable."""
         import json
 
+        clean = {k: (float(v) if hasattr(v, "__float__") else v)
+                 for k, v in entry.items()}
         path = self.ckpt.root / "history.jsonl"
         with open(path, "a") as f:
-            f.write(json.dumps({k: (float(v) if hasattr(v, "__float__") else v)
-                                for k, v in entry.items()}) + "\n")
+            f.write(json.dumps(clean) + "\n")
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log(clean, step=int(entry.get("epoch", 0)))
+        except Exception:
+            pass
 
     def test(
         self,
