@@ -90,31 +90,38 @@ def _make_dense_block_kernel(img_h: int, img_w: int):
             return jnp.where(keep, a, jnp.zeros((), a.dtype))
 
         weights = ((w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5))
+        dn = (((2,), (0,)), ((), ()))  # contract channels; (h0, w0) free
         y = None
         for level in range(1, 6):
             cin = level * nf
             w_ref, b_ref = weights[level - 1]
             w = w_ref[:].astype(dt)  # (3, 3, cin, nf)
             src = buf[:, :, 0:cin]  # (h0, w0, cin)
-            acc = jnp.zeros(((h0 - 2) * (w0 - 2), nf), jnp.float32)
+            acc = jnp.zeros((h0, w0, nf), jnp.float32)
+            # SAME cross-correlation via circular rolls (no unaligned sublane
+            # slicing): wrap-around garbage is confined to the outer ring,
+            # which lives inside the margin and is never consumed.
             for dy in range(3):
+                # pltpu.roll requires non-negative shifts: -k == size - k
+                sh = (-(dy - 1)) % h0
+                rolled_h = pltpu.roll(src, sh, 0) if sh else src
                 for dx in range(3):
-                    patch = src[dy : dy + h0 - 2, dx : dx + w0 - 2, :]
-                    acc = acc + jnp.dot(
-                        patch.reshape(-1, cin),
-                        w[dy, dx],
+                    sw = (-(dx - 1)) % w0
+                    shifted = (
+                        pltpu.roll(rolled_h, sw, 1) if sw else rolled_h
+                    )
+                    acc = acc + jax.lax.dot_general(
+                        shifted, w[dy, dx], dn,
                         preferred_element_type=jnp.float32,
                     )
             acc = acc + b_ref[:].astype(jnp.float32)
-            y = acc.reshape(h0 - 2, w0 - 2, nf)
+            y = acc
             if level < 5:
-                y = _lrelu(y)
-                full = jnp.pad(y.astype(dt), ((1, 1), (1, 1), (0, 0)))
-                buf[:, :, level * nf : (level + 1) * nf] = mask_full(full)
+                y = mask_full(_lrelu(y).astype(dt))
+                buf[:, :, level * nf : (level + 1) * nf] = y
 
-        # y: level-5 pre-activation at (h0-2, w0-2); center-crop to the tile
-        off = MARGIN - 1
-        x5 = y[off : off + th, off : off + tw, :]
+        # y: level-5 pre-activation, full tile size; center-crop to the tile
+        x5 = y[MARGIN : MARGIN + th, MARGIN : MARGIN + tw, :]
         center = buf[MARGIN : MARGIN + th, MARGIN : MARGIN + tw, 0:nf].astype(
             jnp.float32
         )
