@@ -32,7 +32,7 @@ import time
 BASELINE_TILES_PER_SEC = 500.0
 BATCH = 8
 CHAIN = 10
-PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "420"))
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "300"))
 
 
 def _run_pipeline(pipeline: str) -> float:
@@ -84,7 +84,7 @@ def _run_pipeline(pipeline: str) -> float:
 
 def main() -> None:
     results = {}
-    for pipeline in ("fused", "xla"):
+    for pipeline in ("xla", "fused"):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--pipeline", pipeline],
