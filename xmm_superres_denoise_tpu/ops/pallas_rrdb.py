@@ -24,6 +24,13 @@ Designed for the space-to-depth domain (ops/space_to_depth.py): C = 128
 keeps every DMA slice and matmul 128-lane aligned. HBM traffic per block
 drops from ~12 tensor reads/writes to 1 + 1. Inference-oriented (no custom
 VJP yet); training uses the XLA graph path.
+
+STATUS (round 1): numerically exact vs the Flax graph under interpret mode
+(tests/test_pallas_rrdb.py). On-device compilation is currently blocked by
+Mosaic limitations ("Rotate with non-32-bit data" for bf16 pltpu.roll;
+slicing variants overflow scoped VMEM because unrolled tap slices are not
+stack-reused) — full findings and the measured alternatives in
+docs/PERFORMANCE.md. bench.py keeps this path opt-in (XMMSR_BENCH_FUSED=1).
 """
 
 from __future__ import annotations
