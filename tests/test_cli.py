@@ -108,3 +108,62 @@ def test_cli_fit_smoke(tmp_path, monkeypatch):
     # image logger produced a panel (log_images_every_n_epochs = 1)
     panels = list((Path(t_cfg.checkpoint_root) / "esr_gen" / "images").rglob("*.png"))
     assert panels, "expected display panels from the image logger"
+
+
+def test_cli_end2end_with_onnx_checkpoint(tmp_path):
+    """Full CLI chain: synthetic PPS dir + ONNX weights -> products."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmm_superres_denoise_tpu.cli import main
+    from xmm_superres_denoise_tpu.infer.onnx_import import export_onnx_params
+    from xmm_superres_denoise_tpu.io.fits import read_image, write_bintable
+    from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
+
+    # ONNX checkpoint at the production architecture (registry config)
+    model = GeneratorRRDB_SR(num_filters=32, num_res_blocks=4, num_upsample=1)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ckpt = export_onnx_params(template, tmp_path / "weights.onnx")
+
+    # synthetic PPS directory (EPN geometry)
+    pps = tmp_path / "pps"
+    pps.mkdir()
+    g = np.random.default_rng(0)
+    n = 5000
+    x0, x1, y0, y1 = -16120, 16119, -16440, 16439
+    write_bintable(
+        pps / "P0PNS003PIEVLI0000.FTZ",
+        {
+            "TIME": np.sort(g.uniform(0, 30_000, n)),
+            "DETX": g.integers(x0, x1 + 1, n).astype(np.int32),
+            "DETY": g.integers(y0, y1 + 1, n).astype(np.int32),
+            "PI": g.integers(150, 12_000, n).astype(np.int32),
+            "PATTERN": g.integers(0, 5, n).astype(np.int32),
+            "FLAG": np.zeros(n, np.int32),
+        },
+        extname="EVENTS",
+        header={"INSTRUME": "EPN", "ONTIME": 30_000.0,
+                "CRPIX1": 202.0, "CRPIX2": 206.0, "CDELT1": -0.001111,
+                "CDELT2": 0.001111, "PA_PNT": 80.0},
+        column_limits={"DETX": (x0, x1), "DETY": (y0, y1)},
+    )
+    (pps / "P0OBX000CALIND0000.FTZ").write_bytes(b"\x00")
+
+    run = _write_run_config(tmp_path)
+    # production resolutions for the real model
+    cfg = run.read_text().replace("res = 32", "res = 416").replace(
+        "res = 64", "res = 832"
+    )
+    run.write_text(cfg)
+
+    rc = main([
+        "end2end", "--pps", str(pps), "--checkpoint", str(ckpt),
+        "--out", str(tmp_path / "out"), "--run_config", str(run),
+        "--max_expo", "-1",
+    ])
+    assert rc == 0
+    preds = list((tmp_path / "out").glob("*predict*.fits.gz"))
+    assert preds, "expected prediction product"
+    img, hdr = read_image(preds[0])
+    assert img.shape == (832, 832)

@@ -120,7 +120,7 @@ def cmd_infer(args) -> int:
     elif ckpt.suffix == ".onnx":
         from .infer.onnx_import import import_onnx_params
 
-        params = import_onnx_params(ckpt, template)
+        params = {"params": import_onnx_params(ckpt, template["params"])}
     else:
         from .train.checkpoints import CheckpointManager
         from .train.steps import TrainState
@@ -142,6 +142,56 @@ def cmd_infer(args) -> int:
         plot=args.plot,
     )
     print(json.dumps({"input": str(p_in), "prediction": str(p_pred)}))
+    return 0
+
+
+def cmd_end2end(args) -> int:
+    """obsid PPS dir -> detxy -> SR/DN products (reference
+    inference_end2end_obsid.py equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.datasets import load_det_mask
+    from .infer.end2end import run_end2end
+    from .infer.run_file import InferenceEngine
+    from .models.registry import build_model
+    from .train.checkpoints import load_params_npz
+
+    ds_cfg, m_cfg, _, _, _ = load_run_config(args.run_config)
+    lr = (ds_cfg.lr.res, ds_cfg.lr.res)
+    hr = (ds_cfg.hr.res, ds_cfg.hr.res) if ds_cfg.hr else lr
+    model = build_model(m_cfg, lr, hr)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *lr, 1)))
+    ckpt = Path(args.checkpoint)
+    if ckpt.suffix == ".onnx":
+        from .infer.onnx_import import import_onnx_params
+
+        params = {"params": import_onnx_params(ckpt, template["params"])}
+    elif ckpt.suffix == ".npz":
+        params = load_params_npz(ckpt, template)
+    else:
+        import optax
+
+        from .train.checkpoints import CheckpointManager
+        from .train.steps import TrainState
+
+        state, _ = CheckpointManager(ckpt).restore_best(
+            TrainState.create(template, optax.adam(1e-4))
+        )
+        params = state.params
+
+    mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
+    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask)
+    result = run_end2end(
+        Path(args.pps), engine, Path(args.out),
+        hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
+        model_name=m_cfg.name.value,
+        instrument=args.instrument,
+        max_expo_ks=args.max_expo,
+        plot=args.plot,
+        use_sas=args.use_sas,
+    )
+    print(json.dumps({k: str(v) for k, v in result.items()}))
     return 0
 
 
@@ -174,6 +224,19 @@ def main(argv=None) -> int:
     p.add_argument("--run_config", type=Path, required=True)
     p.add_argument("--plot", action="store_true")
     p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser(
+        "end2end", help="obsid PPS dir -> detxy -> SR/DN FITS products"
+    )
+    p.add_argument("--pps", type=Path, required=True)
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--run_config", type=Path, required=True)
+    p.add_argument("--instrument", default="pn")
+    p.add_argument("--max_expo", type=float, default=20.0)
+    p.add_argument("--use_sas", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.set_defaults(func=cmd_end2end)
 
     p = sub.add_parser("detxy", help="event list -> detxy image (native or SAS)")
     p.add_argument("--pps", type=Path, required=True)
