@@ -153,3 +153,16 @@ def test_registry_builds_transformers():
         x = _x(seed=8)
         v = model.init(jax.random.PRNGKey(8), x)
         assert model.apply(v, x).shape == (1, 48, 48, 1)
+
+
+def test_forward_only_fft_inverse_matches_numpy():
+    """Backend-safe irfft (conj/forward trick) == numpy.fft.irfft2."""
+    from xmm_superres_denoise_tpu.models.swinir import irfft2_ortho, rfft2_ortho
+
+    for h, w in [(16, 16), (12, 15), (416, 416)]:
+        x = np.random.default_rng(h * w).normal(size=(2, 3, h, w)).astype(np.float32)
+        ff = rfft2_ortho(jnp.asarray(x))
+        ref_ff = np.fft.fft(np.fft.rfft(x, axis=-1, norm="ortho"), axis=-2, norm="ortho")
+        np.testing.assert_allclose(np.asarray(ff), ref_ff, rtol=1e-4, atol=1e-4)
+        back = np.asarray(irfft2_ortho(ff, w))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)

@@ -38,28 +38,62 @@ from .swin_common import (
 Array = jnp.ndarray
 
 
+def _ifft_ortho(x, axis: int):
+    """Unitary inverse FFT via conj(fft(conj(x))) — forward-only formulation
+    (the dev TPU backend lacks the inverse-FFT lowering)."""
+    return jnp.conj(jnp.fft.fft(jnp.conj(x), axis=axis, norm="ortho"))
+
+
+def _irfft_ortho(x, n: int, axis: int):
+    """Real inverse of an rfft(norm='ortho') along `axis` of original length
+    n, via Hermitian extension + the forward-fft inverse."""
+    x = jnp.moveaxis(x, axis, -1)
+    k = x.shape[-1]  # n // 2 + 1
+    hi = k - 1 if n % 2 == 0 else k
+    tail = jnp.conj(x[..., 1:hi][..., ::-1])
+    full = jnp.concatenate([x, tail], axis=-1)
+    out = jnp.real(_ifft_ortho(full, axis=-1))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def rfft2_ortho(x):
+    """2-D rfft (norm='ortho') over the LAST two axes, built from per-axis
+    transforms (the dev backend rejects rfftn's internal moveaxis when the
+    FFT axes are not final)."""
+    f = jnp.fft.rfft(x, axis=-1, norm="ortho")
+    return jnp.fft.fft(f, axis=-2, norm="ortho")
+
+
+def irfft2_ortho(x, w: int):
+    t = _ifft_ortho(x, axis=-2)
+    return _irfft_ortho(t, w, axis=-1)
+
+
 class FourierUnit(nn.Module):
     """rfft2 -> 1x1 conv on (re, im) channels -> LeakyReLU -> irfft2
-    (swinfir.py:14-61, norm='ortho'). NHWC: FFT over the (H, W) axes."""
+    (swinfir.py:14-61, norm='ortho').
+
+    FFTs run with spatial axes last (NCHW orientation) using forward-only
+    transforms — see `_ifft_ortho`/`_irfft_ortho` for the backend rationale.
+    Channel packing matches torch: interleaved (c0_re, c0_im, c1_re, ...)."""
 
     embed_dim: int
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        ff = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        # torch layout packs (batch, c, 2, h, w2) -> view(batch, 2c, h, w2):
-        # channel k of the conv input is [re(c0)..re(c-1), im(c0)..im(c-1)]?
-        # No — stack(real, imag, dim=-1).permute(0,1,4,2,3).view(b, c*2, ...)
-        # interleaves per-channel: [re(c0), im(c0), re(c1), im(c1), ...].
-        ff = jnp.stack([ff.real, ff.imag], axis=-1)  # b, h, w2, c, 2
-        ff = ff.reshape(b, h, ff.shape[2], c * 2)  # channel-major (c, reim)
-        ff = conv2d_torch(c * 2, c * 2, kernel=1, name="conv_layer")(ff)
-        ff = nn.leaky_relu(ff, negative_slope=0.2)
-        ff = ff.reshape(b, h, ff.shape[2], c, 2)
-        ff = ff[..., 0] + 1j * ff[..., 1]
-        out = jnp.fft.irfftn(ff, s=(h, w), axes=(1, 2), norm="ortho")
-        return out.astype(x.dtype)
+        xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))  # b, c, h, w
+        ff = rfft2_ortho(xt)  # b, c, h, w2 (complex64)
+        w2 = ff.shape[-1]
+        ffs = jnp.stack([ff.real, ff.imag], axis=2)  # b, c, 2, h, w2
+        ffs = ffs.reshape(b, c * 2, h, w2)
+        ffs = jnp.transpose(ffs, (0, 2, 3, 1))  # NHWC for the 1x1 conv
+        ffs = conv2d_torch(c * 2, c * 2, kernel=1, name="conv_layer")(ffs)
+        ffs = nn.leaky_relu(ffs, negative_slope=0.2)
+        ffs = jnp.transpose(ffs, (0, 3, 1, 2)).reshape(b, c, 2, h, w2)
+        ffc = ffs[:, :, 0] + 1j * ffs[:, :, 1]  # b, c, h, w2
+        out = irfft2_ortho(ffc, w)  # b, c, h, w
+        return jnp.transpose(out, (0, 2, 3, 1)).astype(x.dtype)
 
 
 class SpectralTransform(nn.Module):
