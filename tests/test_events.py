@@ -135,3 +135,13 @@ def test_end_to_end_event_file_with_fbk(tmp_path):
     assert img.shape == (411, 403)
     assert 0 < meta["exposure"] <= 20_000.0
     assert hdr["INSTRUME"].strip() == "EPN"
+
+
+def test_device_and_host_binning_agree(tmp_path):
+    path = tmp_path / "events.fits"
+    cols, _ = _write_synthetic_events(path, seed=7)
+    events = load_event_list(path)
+    gti = GTI(np.array([2_000.0]), np.array([25_000.0]))
+    host, _ = bin_events(events, gti, device=False)
+    dev, _ = bin_events(events, gti, device=True)
+    np.testing.assert_array_equal(host, dev)

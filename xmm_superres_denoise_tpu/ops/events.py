@@ -238,6 +238,40 @@ def _bin_events_device(
     return img[:-1].reshape(ny, nx)
 
 
+def _bin_events_host(
+    events: EventList,
+    gti: Optional[GTI],
+    nx: int,
+    ny: int,
+    bin_size: int,
+    x0: int,
+    y0: int,
+    pi_band: Tuple[int, int],
+    pattern_max: int,
+) -> np.ndarray:
+    """Vectorized numpy filter + bincount (the fast path when events live on
+    the host: the device kernel's host->device transfer dominates through
+    this runtime — ~0.5 Mevents/s device vs ~30 Mevents/s host)."""
+    sel = (
+        (events.pi >= pi_band[0])
+        & (events.pi <= pi_band[1])
+        & (events.flag == 0)
+        & (events.pattern <= pattern_max)
+    )
+    if gti is not None and len(gti.start):
+        in_gti = np.zeros(events.time.shape, bool)
+        for s, e in zip(gti.start, gti.stop):
+            in_gti |= (events.time >= s) & (events.time < e)
+        sel &= in_gti
+    ix = (events.detx[sel] - x0) // bin_size
+    iy = (events.dety[sel] - y0) // bin_size
+    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    flat = (iy[inside] * nx + ix[inside]).astype(np.int64)
+    return (
+        np.bincount(flat, minlength=nx * ny).reshape(ny, nx).astype(np.float32)
+    )
+
+
 def bin_events(
     events: EventList,
     gti: Optional[GTI] = None,
@@ -245,6 +279,7 @@ def bin_events(
     pi_band: Tuple[int, int] = PN_PI_BAND,
     pattern_max: int = 4,
     pad_to: int = 2**20,
+    device: bool = False,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Produce the (ny, nx) detxy count image + WCS-ish metadata.
 
@@ -252,11 +287,24 @@ def bin_events(
     bounds: nx = floor((xmax - xmin + 1) / bin) etc., pixel (0,0) at
     (TLMIN, TLMIN). For EPN at bin 80 this yields the (411, 403) native
     image the models expect.
+
+    `device=True` routes through the jitted scatter-add kernel (for events
+    already resident on device); the default host path is bincount-based.
     """
     x0, x1 = events.detx_bounds
     y0, y1 = events.dety_bounds
     nx = (x1 - x0 + 1) // bin_size
     ny = (y1 - y0 + 1) // bin_size
+
+    if not device:
+        img = _bin_events_host(
+            events, gti, nx, ny, bin_size, x0, y0, pi_band, pattern_max
+        )
+        meta = {
+            "bin_size": bin_size, "x0": x0, "y0": y0, "nx": nx, "ny": ny,
+            "exposure": gti.exposure if gti is not None else float("nan"),
+        }
+        return img, meta
 
     n = len(events.time)
     size = pad_to
