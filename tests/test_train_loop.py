@@ -108,3 +108,14 @@ def test_train_step_updates_params(trainer):
     assert np.isfinite(float(loss))
     assert not np.allclose(before, after)
     assert int(state2.step) == 1
+
+
+def test_extended_metrics_eval_path(trainer):
+    """trainer.test(extended=True) exercises the full piq-equivalent suite
+    (VIF-p, FSIM, GMSD, MS-GMSD, HaarPSI, MDSI) + input baselines."""
+    trainer.fit(seed=0)
+    logs = trainer.test(extended=True)
+    for m in ("vif_p", "fsim", "gmsd", "ms_gmsd", "haarpsi", "msdi"):
+        assert f"test/linear/{m}" in logs, m
+        assert np.isfinite(logs[f"test/linear/{m}"]), m
+        assert f"test/linear/in/{m}" in logs, m
