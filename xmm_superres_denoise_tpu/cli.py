@@ -22,7 +22,6 @@ import json
 import logging
 import tomllib
 from pathlib import Path
-from typing import Optional, Tuple
 
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 

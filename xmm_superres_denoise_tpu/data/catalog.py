@@ -15,9 +15,9 @@ preserved:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set
 
 SPLIT_KEY_SIM = "_mult_"
 SPLIT_KEY_REAL = "_image_split_"

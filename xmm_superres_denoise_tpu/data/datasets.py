@@ -18,7 +18,6 @@ matching the reference's sampling model (dataset.py:223-233).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Tuple
 

@@ -17,7 +17,7 @@ import os
 import subprocess
 import threading
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -15,11 +15,11 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 
-from ..io.fits import Header, read_image, write_image
+from ..io.fits import write_image
 from ..io.wcs import detxy_wcs_header
 from ..ops.events import detxy_image_from_event_file
 from ..sas.pipeline import check_pps_dir, sas_available

@@ -12,18 +12,17 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config.schema import DatasetCfg, ModelCfg
-from ..data.datasets import load_det_mask
-from ..io.fits import Header, read_image
+from ..io.fits import read_image
 from ..io.wcs import write_xmm_product_wcs
 from ..models.registry import build_model
-from ..ops.preprocess import NATIVE_HW, pad_to_res, unpad_from_res
+from ..ops.preprocess import pad_to_res
 from ..ops.stretch import Normalizer
 
 log = logging.getLogger("xmmsr")

@@ -26,7 +26,7 @@ scaling normalizer (xmm_metric_collection.py:135-143); metrics are logged as
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ All are per-image functions on NHWC batches returning (N,) scores, wired into
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

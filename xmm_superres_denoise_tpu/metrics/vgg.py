@@ -18,7 +18,6 @@ random init the loss is still a valid random-projection perceptual distance
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

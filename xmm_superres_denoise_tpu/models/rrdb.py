@@ -30,7 +30,6 @@ Architecture semantics preserved exactly:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp

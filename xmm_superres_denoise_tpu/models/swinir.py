@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .rrdb import pixel_shuffle
 from .swin_common import (
     BasicLayer,
     UpsampleOneStep,

@@ -36,7 +36,7 @@ docs/PERFORMANCE.md. bench.py keeps this path opt-in (XMMSR_BENCH_FUSED=1).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

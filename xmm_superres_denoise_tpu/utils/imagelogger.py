@@ -24,7 +24,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..io.wcs import write_xmm_product
-from ..ops.ssim import ssim_per_image
 from ..ops.stretch import Normalizer
 
 log = logging.getLogger("xmmsr")
