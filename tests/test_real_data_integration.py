@@ -160,3 +160,59 @@ def test_real_dataset_pipeline(tmp_path):
     assert batch["hr"].shape == (2, 416, 416, 1)
     # splits persisted with the reference's real layout ({exp}ks.p leaf)
     assert (tmp_path / "splits" / "real" / "train" / "20ks.p").exists()
+
+
+@pytest.fixture
+def sim_tree_two_exps(tmp_path):
+    """Canonical layout with TWO LR exposures (20ks + 50ks)."""
+    root = tmp_path / "data2"
+    name = "simds2"
+    for mode in ("img", "agn", "background"):
+        for exp, res in (("20ks", "1x"), ("50ks", "1x"), ("100ks", "2x")):
+            src = EXAMPLE / exp / mode / res
+            if not src.exists():
+                continue
+            dst = root / name / mode / exp / res
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            dst.symlink_to(src)
+    return root, name
+
+
+def test_multi_exposure_index_expansion(sim_tree_two_exps, tmp_path):
+    """Mixed-radix (base, exposure) decomposition over two real exposure sets
+    — the corrected semantics of the reference's aliased indexing
+    (SURVEY.md §2.4, dataset.py:214-215)."""
+    root, name = sim_tree_two_exps
+    cfg = DatasetCfg(
+        agn=0,
+        batch_size=2,
+        check_files=False,
+        debug=True,
+        comb_hr=False,
+        crop_mode="center",
+        directory=root,
+        mode="img",
+        name=name,
+        scaling="sqrt",
+        type="sim",
+        lr=LrDatasetCfg(bkg=0, exps=[20, 50], clamp_max=0.0022336, res=416),
+        hr=HrDatasetCfg(exp=100, clamp_max=0.0005584, res=832),
+    )
+    dm = XmmDataModule(cfg, splits_root=tmp_path / "splits2", seed=0)
+    n_base = dm.dataset.catalog.base_name_count
+    assert len(dm.dataset) == n_base * 2
+
+    # index i and i + n_base must select the same base at different exposures
+    b0, e0 = dm.dataset.decompose_index(0)
+    b1, e1 = dm.dataset.decompose_index(n_base)
+    assert b0 == b1 == 0 and e0 == 0 and e1 == 1
+
+    # split expansion covers both exposure replicas
+    tr = dm.split_indices("train")
+    assert len(tr) == len(set(tr))
+    assert any(i >= n_base for i in tr) and any(i < n_base for i in tr)
+
+    # both exposures load fine
+    lr0, _ = dm.dataset[0]
+    lr1, _ = dm.dataset[n_base]
+    assert lr0.shape == lr1.shape == (1, 411, 403)
