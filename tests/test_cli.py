@@ -167,3 +167,59 @@ def test_cli_end2end_with_onnx_checkpoint(tmp_path):
     assert preds, "expected prediction product"
     img, hdr = read_image(preds[0])
     assert img.shape == (832, 832)
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """fit -> export best checkpoint to onnx + npz -> reload equal params."""
+    import jax
+    import numpy as np
+
+    from xmm_superres_denoise_tpu.cli import main
+    from xmm_superres_denoise_tpu.config import (
+        LossCfg, ModelCfg, OptimizerCfg, RrdbCfg, TrainerCfg,
+    )
+    from xmm_superres_denoise_tpu.data import XmmDataModule
+    from xmm_superres_denoise_tpu.train import Trainer, create_loss
+
+    run = _write_run_config(tmp_path)
+    from xmm_superres_denoise_tpu.cli import load_run_config
+
+    ds_cfg, _, t_cfg, _, _ = load_run_config(run, res_dir=ROOT / "res")
+    dm = XmmDataModule(ds_cfg, splits_root=tmp_path / "splits", boring_size=16)
+    mc = ModelCfg(
+        name="esr_gen", memory_efficient=False, batch_size=8,
+        model=RrdbCfg(base_model="esr_gen", filters=4, residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    t_cfg.log_images_every_n_epochs = 0
+    trainer = Trainer(mc, t_cfg, dm, create_loss(None, LossCfg(l1=1.0)),
+                      metric_names=["l1"])
+    trainer.fit()
+
+    # export via CLI (npz; onnx covered by test_onnx_import roundtrip)
+    run_small = tmp_path / "run_small.toml"
+    run_small.write_text(run.read_text())
+    import optax
+
+    from xmm_superres_denoise_tpu.train.checkpoints import (
+        CheckpointManager, load_params_npz, save_params_npz,
+    )
+    from xmm_superres_denoise_tpu.train.steps import TrainState
+
+    # direct export path (the CLI wraps exactly these calls with the
+    # registry-sized model; here the trained model is the small test one)
+    import jax.numpy as jnp
+
+    template = trainer.model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))
+    )
+    state, step = trainer.ckpt.restore_best(
+        TrainState.create(template, optax.adam(1e-4))
+    )
+    out = tmp_path / "weights.npz"
+    save_params_npz(out, state.params)
+    back = load_params_npz(out, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

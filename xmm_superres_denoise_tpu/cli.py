@@ -194,6 +194,37 @@ def cmd_end2end(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export trained weights to the deployment formats (ONNX initializers
+    with torch naming / flat npz) — the role of the reference's shipped
+    XMM-SuperRes.onnx / XMM-DeNoise.onnx checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .models.registry import build_model
+    from .train.checkpoints import CheckpointManager, save_params_npz
+    from .train.steps import TrainState
+
+    ds_cfg, m_cfg, _, _, _ = load_run_config(args.run_config)
+    lr = (ds_cfg.lr.res, ds_cfg.lr.res)
+    hr = (ds_cfg.hr.res, ds_cfg.hr.res) if ds_cfg.hr else lr
+    model = build_model(m_cfg, lr, hr)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *lr, 1)))
+    state, step = CheckpointManager(Path(args.checkpoint)).restore_best(
+        TrainState.create(template, optax.adam(1e-4))
+    )
+    out = Path(args.out)
+    if out.suffix == ".onnx":
+        from .infer.onnx_import import export_onnx_params
+
+        export_onnx_params(state.params, out)
+    else:
+        save_params_npz(out, state.params)
+    print(json.dumps({"exported": str(out), "from_step": int(step)}))
+    return 0
+
+
 def cmd_detxy(args) -> int:
     from .infer.end2end import detxy_for_obsid
 
@@ -223,6 +254,13 @@ def main(argv=None) -> int:
     p.add_argument("--run_config", type=Path, required=True)
     p.add_argument("--plot", action="store_true")
     p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
+    p.add_argument("--checkpoint", type=Path, required=True,
+                   help="checkpoint directory (orbax manager root)")
+    p.add_argument("--out", type=Path, required=True, help=".onnx or .npz path")
+    p.add_argument("--run_config", type=Path, required=True)
+    p.set_defaults(func=cmd_export)
 
     p = sub.add_parser(
         "end2end", help="obsid PPS dir -> detxy -> SR/DN FITS products"
