@@ -150,3 +150,27 @@ def test_xmm_collection_stretch_sweep():
     # destretch(sqrt) then stretch(linear) == square
     ref_l1 = np.mean(np.abs(p**2 - t**2))
     np.testing.assert_allclose(float(out["val/linear/l1"]), ref_l1, rtol=1e-5)
+
+
+def test_xmm_collection_multi_stretch_sweep():
+    """Per-stretch metric sweep over several scaling normalizers at once
+    (the reference's stretch-sweep architecture, SURVEY.md §5.5)."""
+    nz_ds = Normalizer(0.0022336, 0.0005584, "sqrt")
+    sweeps = [
+        Normalizer(0.0022336, 0.0005584, m) for m in ("linear", "sqrt", "asinh")
+    ]
+    coll = XMMMetricCollection(nz_ds, sweeps, prefix="test",
+                               metric_names=["psnr", "l1"])
+    state = coll.init()
+    p, t = _pair(seed=11)
+    state = coll.update(state, p, t)
+    out = coll.compute(state)
+    assert set(out) == {
+        "test/linear/psnr", "test/linear/l1",
+        "test/sqrt/psnr", "test/sqrt/l1",
+        "test/asinh/psnr", "test/asinh/l1",
+    }
+    # sqrt sweep = identity re-stretch of the dataset normalization
+    ref_l1 = float(np.mean(np.abs(np.asarray(p) - np.asarray(t))))
+    np.testing.assert_allclose(float(out["test/sqrt/l1"]), ref_l1, rtol=1e-5)
+    assert all(np.isfinite(v) for v in out.values())
