@@ -158,3 +158,44 @@ def test_end2end_native_obsid(tmp_path):
     assert result["latency_s"]["total"] > 0
     pred, _ = read_image(result["prediction"])
     assert pred.shape == (832, 832)
+
+
+def test_engine_bf16_close_to_f32():
+    """bf16 serving mode stays close to the f32 parity mode."""
+    import jax
+    import jax.numpy as jnp
+
+    lr_res = 64
+    ds = DatasetCfg(
+        directory=Path("."),
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=lr_res),
+        hr=HrDatasetCfg(exp=50, clamp_max=0.0022336, res=lr_res),
+        scaling="sqrt",
+        type="boring",
+    )
+    mc = ModelCfg(
+        name="rrdb_denoise", memory_efficient=False, batch_size=1,
+        model=RrdbCfg(base_model="rrdb_denoise", filters=4, residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    model = build_model(mc, (lr_res, lr_res), (lr_res, lr_res))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, lr_res, lr_res, 1)))
+    engine32 = InferenceEngine(mc, ds, params)
+    engine16 = InferenceEngine(mc, ds, params, dtype=jnp.bfloat16)
+    raw = np.random.default_rng(9).uniform(0, 0.001, (64, 64)).astype(np.float32)
+    p32, _ = engine32(raw)
+    p16, _ = engine16(raw)
+    assert p16.shape == p32.shape
+    denom = max(np.abs(p32).max(), 1e-9)
+    assert np.abs(p16 - p32).max() / denom < 0.05  # bf16 tolerance
+
+
+def test_infer_file_plotting(tmp_path):
+    engine, _ = _engine(sr=False, lr_res=416)
+    detxy = _write_detxy(tmp_path, seed=5)
+    infer_file(detxy, engine, tmp_path / "out", hr_exp_ks=50.0,
+               model_name="rrdb_denoise", plot=True)
+    assert (tmp_path / "out" / "plot_in.png").exists()
+    assert (tmp_path / "out" / "plot_out.png").exists()

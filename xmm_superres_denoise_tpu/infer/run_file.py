@@ -46,6 +46,9 @@ class InferenceEngine:
         det_mask: Optional[np.ndarray] = None,
         dtype=jnp.float32,
     ):
+        """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
+        normalization/denormalization stay f32 for product fidelity) — the
+        serving configuration. f32 (default) is the parity configuration."""
         cfg = dataset_config
         self.lr_res = cfg.lr.res
         self.hr_res = cfg.hr.res if cfg.hr else cfg.lr.res
@@ -57,22 +60,29 @@ class InferenceEngine:
         self.model = build_model(
             model_config, (self.lr_res, self.lr_res), (self.hr_res, self.hr_res)
         )
+        if dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                params,
+            )
         self.params = params
         mask = None
         if det_mask is not None:
-            mask = jnp.asarray(det_mask, dtype)
+            mask = jnp.asarray(det_mask, jnp.float32)
         nz = self.normalizer
         model = self.model
         lr_res = self.lr_res
 
         @jax.jit
-        def _run(params, raw):  # raw: (B, H, W) native geometry
+        def _run(params, raw):  # raw: (B, H, W) native geometry, f32
             x = raw
             if mask is not None:
                 x = x * mask
             x = pad_to_res(x, lr_res)[..., None]  # NHWC
             x = nz.normalize_lr(x)
-            pred = jnp.clip(model.apply(params, x), 0.0, 1.0)
+            pred = model.apply(params, x.astype(dtype)).astype(jnp.float32)
+            pred = jnp.clip(pred, 0.0, 1.0)
             return nz.denormalize_hr(pred)[..., 0], nz.denormalize_lr(x)[..., 0]
 
         self._run = _run
