@@ -100,6 +100,7 @@ def cmd_test(args) -> int:
 
 def cmd_infer(args) -> int:
     import jax
+    import jax.numpy as jnp
 
     from .data.datasets import load_det_mask
     from .infer.run_file import InferenceEngine, infer_file
@@ -133,7 +134,8 @@ def cmd_infer(args) -> int:
         params = state.params
 
     mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
-    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype)
     p_in, p_pred = infer_file(
         Path(args.fits), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
@@ -180,7 +182,8 @@ def cmd_end2end(args) -> int:
         params = state.params
 
     mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
-    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype)
     result = run_end2end(
         Path(args.pps), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
@@ -253,6 +256,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=Path, required=True)
     p.add_argument("--run_config", type=Path, required=True)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode (f32 is the parity mode)")
     p.set_defaults(func=cmd_infer)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
@@ -273,6 +278,8 @@ def main(argv=None) -> int:
     p.add_argument("--max_expo", type=float, default=20.0)
     p.add_argument("--use_sas", action="store_true")
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode (f32 is the parity mode)")
     p.set_defaults(func=cmd_end2end)
 
     p = sub.add_parser("detxy", help="event list -> detxy image (native or SAS)")
