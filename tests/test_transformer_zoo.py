@@ -166,3 +166,23 @@ def test_forward_only_fft_inverse_matches_numpy():
         np.testing.assert_allclose(np.asarray(ff), ref_ff, rtol=1e-4, atol=1e-4)
         back = np.asarray(irfft2_ortho(ff, w))
         np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_ckpt", [False, True])
+def test_swinir_remat_same_numerics(use_ckpt):
+    """memory_efficient (nn.remat) must not change outputs or break grads
+    (the reference's use_checkpoint flag, modules.py:585-587)."""
+    x = _x(seed=12)
+    kw = dict(img_size=24, patch_size=1, in_chans=1, embed_dim=12,
+              depths=(2,), num_heads=(2,), window_size=6, mlp_ratio=2.0,
+              upscale=1, upsampler="", drop_path_rate=0.0)
+    base = SwinIR(use_checkpoint=False, **kw)
+    v = base.init(jax.random.PRNGKey(12), x)
+    ref = base.apply(v, x)
+    m = SwinIR(use_checkpoint=use_ckpt, **kw)
+    out = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    g = jax.grad(lambda p: float(0) + jnp.sum(m.apply(p, x) ** 2))(v)
+    assert all(
+        np.all(np.isfinite(np.asarray(t))) for t in jax.tree_util.tree_leaves(g)
+    )
