@@ -181,7 +181,7 @@ def test_swinir_remat_same_numerics(use_ckpt):
     ref = base.apply(v, x)
     m = SwinIR(use_checkpoint=use_ckpt, **kw)
     out = m.apply(v, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
     g = jax.grad(lambda p: float(0) + jnp.sum(m.apply(p, x) ** 2))(v)
     assert all(
         np.all(np.isfinite(np.asarray(t))) for t in jax.tree_util.tree_leaves(g)
