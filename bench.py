@@ -4,15 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: >=500 tiles/sec (BASELINE.md), vs_baseline = value / 500.
 
 Measures the flagship inference path (GeneratorRRDB_SR, production config:
-32 filters x 4 RRDB blocks, 416^2 -> 832^2, bf16). Two candidate pipelines:
+32 filters x 4 RRDB blocks, 416^2 -> 832^2, bf16). Candidate pipelines:
 
-  * fused: Pallas space-to-depth RRDB trunk (ops/pallas_rrdb.py) — one
-    kernel per dense block, 128-lane channels;
-  * xla: the plain jitted Flax forward.
+  * xla: the plain jitted Flax forward;
+  * s2d: whole forward in the 2x2 space-to-depth domain at 208^2 with
+    4x/16x channels (ops/s2d_forward.py) — full 128-lane MXU tiles;
+  * fused: Pallas space-to-depth RRDB trunk (ops/pallas_rrdb.py), opt-in.
 
-Each pipeline runs in a SUBPROCESS with its own wall-clock budget (remote
-Mosaic compilation through the dev tunnel can stall); the faster survivor
-wins and is reported on stderr.
+Each (pipeline, batch) candidate runs in a SUBPROCESS with its own
+wall-clock budget (remote Mosaic compilation through the dev tunnel can
+stall); the fastest survivor wins and is reported on stderr.
 
 Timing note: the dev TPU sits behind a network tunnel where
 `block_until_ready` does not reliably await remote completion and every
@@ -30,16 +31,20 @@ import sys
 import time
 
 BASELINE_TILES_PER_SEC = 500.0
-BATCH = 8
 CHAIN = 10
 # The remote tunnel's compile latency varies wildly (60s..10min); give the
-# main pipeline a generous budget and keep the experimental fused path
-# opt-in so it never eats the budget.
-PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "900"))
+# reliable first config a generous budget, later ones a tighter one, and
+# keep the experimental Pallas fused path opt-in.
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "600"))
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
+# (pipeline, batch) candidates, most-reliable first. "s2d" runs the whole
+# forward in the space-to-depth domain (ops/s2d_forward.py — every conv on
+# full 128-wide MXU lanes at 208^2); large batches amortize the measured
+# ~3 ms/op floor of this runtime (docs/PERFORMANCE.md).
+CANDIDATES = [("xla", 8), ("s2d", 8), ("s2d", 32), ("xla", 32), ("s2d", 64)]
 
 
-def _run_pipeline(pipeline: str) -> float:
+def _run_pipeline(pipeline: str, batch: int) -> None:
     """Executed in the child process: prints one float (tiles/s)."""
     import jax
     import jax.numpy as jnp
@@ -54,13 +59,17 @@ def _run_pipeline(pipeline: str) -> float:
     )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 1)))
     x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (BATCH, 416, 416, 1)), jnp.bfloat16
+        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 1)), jnp.bfloat16
     )
 
     if pipeline == "fused":
         from xmm_superres_denoise_tpu.ops.pallas_rrdb import make_fast_rrdb_forward
 
         forward = make_fast_rrdb_forward(model, params, dtype=jnp.bfloat16)
+    elif pipeline == "s2d":
+        from xmm_superres_denoise_tpu.ops.s2d_forward import make_s2d_sr_forward
+
+        forward = make_s2d_sr_forward(model, params, dtype=jnp.bfloat16)
     else:
         bf16_params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16), params
@@ -83,31 +92,35 @@ def _run_pipeline(pipeline: str) -> float:
         t0 = time.perf_counter()
         float(f(x))
         best = min(best, time.perf_counter() - t0)
-    print(BATCH * CHAIN / best)
+    print(batch * CHAIN / best)
 
 
 def main() -> None:
     results = {}
-    pipelines = ("xla", "fused") if TRY_FUSED else ("xla",)
-    for pipeline in pipelines:
+    candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
+    for pipeline, batch in candidates:
+        key = f"{pipeline}-b{batch}"
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline", pipeline],
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--pipeline", pipeline, str(batch),
+                ],
                 capture_output=True,
                 timeout=PIPELINE_BUDGET_S,
             )
             if proc.returncode == 0:
-                results[pipeline] = float(proc.stdout.strip().splitlines()[-1])
+                results[key] = float(proc.stdout.strip().splitlines()[-1])
             else:
                 print(
-                    f"bench: {pipeline} failed: "
+                    f"bench: {key} failed: "
                     f"{proc.stderr.decode(errors='replace')[-300:]}",
                     file=sys.stderr,
                 )
         except subprocess.TimeoutExpired:
-            print(f"bench: {pipeline} exceeded {PIPELINE_BUDGET_S}s", file=sys.stderr)
+            print(f"bench: {key} exceeded {PIPELINE_BUDGET_S}s", file=sys.stderr)
         except Exception as e:
-            print(f"bench: {pipeline} error: {e}", file=sys.stderr)
+            print(f"bench: {key} error: {e}", file=sys.stderr)
 
     if not results:
         # Last resort: a short inline measurement so the driver always gets
@@ -150,6 +163,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--pipeline":
-        _run_pipeline(sys.argv[2])
+        _run_pipeline(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 8)
     else:
         main()

@@ -1,0 +1,135 @@
+"""Whole-forward space-to-depth pipelines for the RRDB models (plain XLA).
+
+Runs the ENTIRE GeneratorRRDB_SR / _DN forward in the 2x2 space-to-depth
+domain: every 3x3 conv becomes an exactly-equivalent 3x3 conv at half
+resolution with 4x channels (ops/space_to_depth.py), so all matmuls run on
+full 128-wide MXU lanes instead of 32 and every tensor is layout-aligned.
+
+The SR head needs no permutation fix-up: `pixel_shuffle(., 2)` and the 2x2
+space-to-depth packing are exact inverses with the same channel convention
+(models/rrdb.py:pixel_shuffle/pixel_unshuffle), so the S2D representation of
+the pixel-shuffled tensor IS the upconv output's S2D representation. The
+convs that nominally run at 832^2 (HRconv, conv_last) are transformed TWICE
+(S2D of S2D: 16x channels at 208^2) and a single d2s . d2s pair at the very
+end materializes the 832^2 output. Net: the whole forward executes at 208^2,
+with one cheap pack at input and one unpack at output.
+
+Reference serve path this accelerates:
+`/root/reference/xmm_superres_denoise/utils/run_inference_on_file.py:137-170`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
+from .space_to_depth import d2s, s2d, s2d_conv_weights
+
+Array = jnp.ndarray
+
+
+def _conv(x: Array, w: Array, b: Array) -> Array:
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn) + b
+
+
+def _lrelu(x: Array, slope: float) -> Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _xform(entry: dict, times: int, dtype) -> tuple[Array, Array]:
+    """Transform a Flax Conv param dict into the (repeated) S2D domain."""
+    w = np.asarray(entry["kernel"], np.float32)
+    b = np.asarray(entry["bias"], np.float32)
+    for _ in range(times):
+        w, b = s2d_conv_weights(w, b)
+    return jnp.asarray(w, dtype), jnp.asarray(b, dtype)
+
+
+def _transform_trunk(trunk: dict, num_res_blocks: int, dtype) -> dict[str, Any]:
+    out: dict[str, Any] = {
+        "conv_first": _xform(trunk["conv_first"], 1, dtype),
+        "trunk_conv": _xform(trunk["trunk_conv"], 1, dtype),
+        "blocks": [],
+    }
+    for i in range(num_res_blocks):
+        rrdb = trunk[f"rrdb_{i}"]
+        out["blocks"].append(
+            [
+                [_xform(rrdb[f"RDB{d}"][f"conv{c}"], 1, dtype) for c in range(1, 6)]
+                for d in (1, 2, 3)
+            ]
+        )
+    return out
+
+
+def _trunk_forward(tp: dict[str, Any], x4: Array) -> Array:
+    """S2D-domain trunk: conv_first -> N x RRDB -> trunk_conv + skip.
+
+    Dense blocks use the reference's gather form (growing-cin concat convs).
+    A 'scatter' re-association (one fat-cout conv per source tensor, partial
+    sums per level — exact by conv linearity) was measured SLOWER end-to-end
+    (66-67 vs 70-73 tiles/s) despite isolated fat-cout convs running ~3x the
+    TF/s (745 vs 250 at b32): the sliced partial-sum adds break XLA's
+    conv-epilogue fusion. Keep gather; revisit only inside a fused kernel.
+    """
+    fea = _conv(x4, *tp["conv_first"])
+    t = fea
+    for rrdb in tp["blocks"]:
+        block_in = t
+        for rdb in rrdb:
+            x = t
+            feats = [x]
+            for level, (w, b) in enumerate(rdb):
+                h = _conv(jnp.concatenate(feats, -1) if level else x, w, b)
+                if level < 4:
+                    h = _lrelu(h, 0.2)
+                    feats.append(h)
+            t = h * 0.2 + x
+        t = t * 0.2 + block_in
+    trunk = _conv(t, *tp["trunk_conv"])
+    return fea + trunk
+
+
+def make_s2d_sr_forward(model: GeneratorRRDB_SR, params, dtype=jnp.bfloat16):
+    """Build an S2D-domain forward equal to clip(model.apply(params, x), 0, 1).
+
+    Supports the production geometry (num_upsample == 1). Input (B, H, W, C)
+    with H, W divisible by 4; output (B, 2H, 2W, out_channels).
+    """
+    assert model.num_upsample == 1, "S2D pipeline built for num_upsample=1"
+    p = params["params"]
+    tp = _transform_trunk(p["trunk"], model.num_res_blocks, dtype)
+    upconv = _xform(p["upconv_0"], 1, dtype)
+    hrconv = _xform(p["HRconv"], 2, dtype)
+    conv_last = _xform(p["conv_last"], 2, dtype)
+
+    def forward(x: Array) -> Array:
+        x4 = s2d(x.astype(dtype))
+        fea = _trunk_forward(tp, x4)
+        up = _lrelu(_conv(fea, *upconv), 0.01)  # == S2D2 of pixel-shuffled fea
+        h = _lrelu(_conv(up, *hrconv), 0.2)
+        out = _conv(h, *conv_last)
+        return jnp.clip(d2s(d2s(out)), 0.0, 1.0)
+
+    return forward
+
+
+def make_s2d_dn_forward(model: GeneratorRRDB_DN, params, dtype=jnp.bfloat16):
+    """S2D-domain denoiser forward: trunk -> conv_last -> input skip -> clip."""
+    p = params["params"]
+    tp = _transform_trunk(p["trunk"], model.num_res_blocks, dtype)
+    conv_last = _xform(p["conv_last"], 1, dtype)
+
+    def forward(x: Array) -> Array:
+        x4 = s2d(x.astype(dtype))
+        fea = _trunk_forward(tp, x4)
+        out = _conv(fea, *conv_last) + x4
+        return jnp.clip(d2s(out), 0.0, 1.0)
+
+    return forward
