@@ -155,17 +155,55 @@ def test_registry_builds_transformers():
         assert model.apply(v, x).shape == (1, 48, 48, 1)
 
 
-def test_forward_only_fft_inverse_matches_numpy():
-    """Backend-safe irfft (conj/forward trick) == numpy.fft.irfft2."""
-    from xmm_superres_denoise_tpu.models.swinir import irfft2_ortho, rfft2_ortho
+def test_dft_matmul_matrices_match_numpy_fft():
+    """The real-valued DFT matmul constants == numpy rfft2/irfft2 (ortho)."""
+    from xmm_superres_denoise_tpu.models.swinir import _dft_mats_h, _dft_mats_w
 
     for h, w in [(16, 16), (12, 15), (416, 416)]:
         x = np.random.default_rng(h * w).normal(size=(2, 3, h, w)).astype(np.float32)
-        ff = rfft2_ortho(jnp.asarray(x))
-        ref_ff = np.fft.fft(np.fft.rfft(x, axis=-1, norm="ortho"), axis=-2, norm="ortho")
-        np.testing.assert_allclose(np.asarray(ff), ref_ff, rtol=1e-4, atol=1e-4)
-        back = np.asarray(irfft2_ortho(ff, w))
+        cw, sw, c2, s2 = _dft_mats_w(w)
+        ch, sh = _dft_mats_h(h)
+        re, im = x @ cw, x @ sw
+        re, im = (
+            np.einsum("mh,bchk->bcmk", ch, re) + np.einsum("mh,bchk->bcmk", sh, im),
+            np.einsum("mh,bchk->bcmk", ch, im) - np.einsum("mh,bchk->bcmk", sh, re),
+        )
+        ref = np.fft.fft(np.fft.rfft(x, axis=-1, norm="ortho"), axis=-2, norm="ortho")
+        np.testing.assert_allclose(re, ref.real, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(im, ref.imag, rtol=1e-4, atol=1e-4)
+        # inverse roundtrip
+        re2, im2 = (
+            np.einsum("mh,bchk->bcmk", ch, re) - np.einsum("mh,bchk->bcmk", sh, im),
+            np.einsum("mh,bchk->bcmk", ch, im) + np.einsum("mh,bchk->bcmk", sh, re),
+        )
+        back = re2 @ c2 + im2 @ s2
         np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+
+def test_fourier_unit_matches_numpy_fft_reference():
+    """FourierUnit (DFT-matmul impl) == a numpy rfft2/conv/irfft2 replica."""
+    from xmm_superres_denoise_tpu.models.swinir import FourierUnit
+
+    b, h, w, c = 2, 12, 16, 4
+    x = np.random.default_rng(0).normal(size=(b, h, w, c)).astype(np.float32)
+    fu = FourierUnit(c)
+    params = fu.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(fu.apply(params, jnp.asarray(x)))
+
+    k = np.asarray(params["params"]["conv_layer"]["kernel"])[0, 0]  # (2c, 2c)
+    bias = np.asarray(params["params"]["conv_layer"]["bias"])
+    xt = np.transpose(x, (0, 3, 1, 2))
+    ff = np.fft.fft(np.fft.rfft(xt, axis=-1, norm="ortho"), axis=-2, norm="ortho")
+    w2 = ff.shape[-1]
+    ffs = np.stack([ff.real, ff.imag], axis=2).reshape(b, c * 2, h, w2)
+    ffs = np.einsum("bihw,io->bohw", ffs, k) + bias[None, :, None, None]
+    ffs = np.where(ffs >= 0, ffs, 0.2 * ffs)
+    ffc = ffs.reshape(b, c, 2, h, w2)
+    ffc = ffc[:, :, 0] + 1j * ffc[:, :, 1]
+    out = np.fft.irfft(np.fft.ifft(ffc, axis=-2, norm="ortho"), w, axis=-1,
+                       norm="ortho")
+    ref = np.transpose(out, (0, 2, 3, 1)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("use_ckpt", [False, True])

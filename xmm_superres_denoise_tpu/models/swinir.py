@@ -37,43 +37,59 @@ from .swin_common import (
 Array = jnp.ndarray
 
 
-def _ifft_ortho(x, axis: int):
-    """Unitary inverse FFT via conj(fft(conj(x))) — forward-only formulation
-    (the dev TPU backend lacks the inverse-FFT lowering)."""
-    return jnp.conj(jnp.fft.fft(jnp.conj(x), axis=axis, norm="ortho"))
+def _dft_mats_w(w: int):
+    """Real-valued rfft/irfft (norm='ortho') along a length-w axis as
+    matmul constants.
+
+    Forward (x real, length w -> w2 = w//2+1 bins):
+        re = x @ CW,  im = x @ SW         CW[n,k] =  cos(2pi nk/w)/sqrt(w)
+                                          SW[n,k] = -sin(2pi nk/w)/sqrt(w)
+    Inverse (Hermitian half-spectrum -> real length w):
+        x  = re @ C2 + im @ S2            C2[k,n] =  m_k cos(2pi kn/w)/sqrt(w)
+                                          S2[k,n] = -m_k sin(2pi kn/w)/sqrt(w)
+    with multiplicity m_k = 1 for k in {0, w/2 (w even)}, else 2 (the
+    suppressed conjugate bins)."""
+    w2 = w // 2 + 1
+    n = np.arange(w)[:, None]
+    k = np.arange(w2)[None, :]
+    ang = 2.0 * np.pi * n * k / w
+    scale = 1.0 / np.sqrt(w)
+    cw = (np.cos(ang) * scale).astype(np.float32)
+    sw = (-np.sin(ang) * scale).astype(np.float32)
+    mult = np.full((w2,), 2.0, np.float32)
+    mult[0] = 1.0
+    if w % 2 == 0:
+        mult[-1] = 1.0
+    c2 = (cw.T * mult[:, None]).astype(np.float32)
+    s2 = (sw.T * mult[:, None]).astype(np.float32)
+    return cw, sw, c2, s2
 
 
-def _irfft_ortho(x, n: int, axis: int):
-    """Real inverse of an rfft(norm='ortho') along `axis` of original length
-    n, via Hermitian extension + the forward-fft inverse."""
-    x = jnp.moveaxis(x, axis, -1)
-    k = x.shape[-1]  # n // 2 + 1
-    hi = k - 1 if n % 2 == 0 else k
-    tail = jnp.conj(x[..., 1:hi][..., ::-1])
-    full = jnp.concatenate([x, tail], axis=-1)
-    out = jnp.real(_ifft_ortho(full, axis=-1))
-    return jnp.moveaxis(out, -1, axis)
+def _dft_mats_h(h: int):
+    """Full complex DFT (norm='ortho') along a length-h axis as real matmul
+    constants: CH[m,n] = cos(2pi mn/h)/sqrt(h), SH[m,n] = sin(2pi mn/h)/sqrt(h).
 
-
-def rfft2_ortho(x):
-    """2-D rfft (norm='ortho') over the LAST two axes, built from per-axis
-    transforms (the dev backend rejects rfftn's internal moveaxis when the
-    FFT axes are not final)."""
-    f = jnp.fft.rfft(x, axis=-1, norm="ortho")
-    return jnp.fft.fft(f, axis=-2, norm="ortho")
-
-
-def irfft2_ortho(x, w: int):
-    t = _ifft_ortho(x, axis=-2)
-    return _irfft_ortho(t, w, axis=-1)
+    Forward of (a + ib):  re' = CH a + SH b,  im' = CH b - SH a
+    Inverse (unitary):    re' = CH a - SH b,  im' = CH b + SH a
+    """
+    m = np.arange(h)[:, None]
+    n = np.arange(h)[None, :]
+    ang = 2.0 * np.pi * m * n / h
+    scale = 1.0 / np.sqrt(h)
+    return (np.cos(ang) * scale).astype(np.float32), (
+        np.sin(ang) * scale
+    ).astype(np.float32)
 
 
 class FourierUnit(nn.Module):
     """rfft2 -> 1x1 conv on (re, im) channels -> LeakyReLU -> irfft2
     (swinfir.py:14-61, norm='ortho').
 
-    FFTs run with spatial axes last (NCHW orientation) using forward-only
-    transforms — see `_ifft_ortho`/`_irfft_ortho` for the backend rationale.
+    The 2-D transforms are REAL-VALUED DFT matmuls over precomputed
+    cos/sin constants (spatial sizes are static under jit) — no complex
+    dtypes anywhere, so the graph runs on TPU backends without complex-op
+    lowerings and every transform rides the MXU. Validated against
+    numpy rfft2/irfft2(norm='ortho') in tests/test_transformer_zoo.py.
     Channel packing matches torch: interleaved (c0_re, c0_im, c1_re, ...)."""
 
     embed_dim: int
@@ -81,17 +97,35 @@ class FourierUnit(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
+        cw, sw, c2, s2 = (jnp.asarray(m) for m in _dft_mats_w(w))
+        ch, sh = (jnp.asarray(m) for m in _dft_mats_h(h))
         xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))  # b, c, h, w
-        ff = rfft2_ortho(xt)  # b, c, h, w2 (complex64)
-        w2 = ff.shape[-1]
-        ffs = jnp.stack([ff.real, ff.imag], axis=2)  # b, c, 2, h, w2
+        # rfft along W: (b,c,h,w) @ (w,w2)
+        re = xt @ cw
+        im = xt @ sw
+        # full fft along H (contract axis 2 with the symmetric DFT matrices)
+        re, im = (
+            jnp.einsum("mh,bchk->bcmk", ch, re)
+            + jnp.einsum("mh,bchk->bcmk", sh, im),
+            jnp.einsum("mh,bchk->bcmk", ch, im)
+            - jnp.einsum("mh,bchk->bcmk", sh, re),
+        )
+        w2 = re.shape[-1]
+        ffs = jnp.stack([re, im], axis=2)  # b, c, 2, h, w2
         ffs = ffs.reshape(b, c * 2, h, w2)
         ffs = jnp.transpose(ffs, (0, 2, 3, 1))  # NHWC for the 1x1 conv
         ffs = conv2d_torch(c * 2, c * 2, kernel=1, name="conv_layer")(ffs)
         ffs = nn.leaky_relu(ffs, negative_slope=0.2)
         ffs = jnp.transpose(ffs, (0, 3, 1, 2)).reshape(b, c, 2, h, w2)
-        ffc = ffs[:, :, 0] + 1j * ffs[:, :, 1]  # b, c, h, w2
-        out = irfft2_ortho(ffc, w)  # b, c, h, w
+        re, im = ffs[:, :, 0], ffs[:, :, 1]
+        # inverse fft along H (unitary conj), then irfft along W
+        re, im = (
+            jnp.einsum("mh,bchk->bcmk", ch, re)
+            - jnp.einsum("mh,bchk->bcmk", sh, im),
+            jnp.einsum("mh,bchk->bcmk", ch, im)
+            + jnp.einsum("mh,bchk->bcmk", sh, re),
+        )
+        out = re @ c2 + im @ s2  # b, c, h, w (real)
         return jnp.transpose(out, (0, 2, 3, 1)).astype(x.dtype)
 
 
