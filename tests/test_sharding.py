@@ -101,3 +101,48 @@ def test_restormer_fsdp_step():
         for l in jax.tree_util.tree_leaves(state2.params)
     ]
     assert any(s is not None and "fsdp" in str(s) for s in specs)
+
+
+def test_eval_loss_invariant_to_padding():
+    """val/loss must not be skewed by pad rows when B % n_devices != 0.
+
+    Regression for the round-1 defect where the shard loss averaged over the
+    PADDED slice (duplicated last sample) before weighting — reference
+    semantics average only real samples (model.py:87-105).
+    """
+    from xmm_superres_denoise_tpu.train import make_eval_step
+
+    mesh = make_mesh(data=8)
+    loss_fn = create_loss(None, LossCfg(l1=0.5, psnr=0.25, ssim=0.25))
+
+    def apply(lr):
+        return jnp.clip(lr * 0.9 + 0.01, 0.0, 1.0)
+
+    step = make_eval_step(apply, loss_fn, mesh)
+    g = np.random.default_rng(0)
+    lr5 = g.uniform(0, 1, (5, 32, 32, 1)).astype(np.float32)
+    hr5 = g.uniform(0, 1, (5, 32, 32, 1)).astype(np.float32)
+
+    padded, valid = pad_batch_to_devices({"lr": lr5, "hr": hr5}, 8)
+    assert valid == 5
+    w = np.zeros((8,), np.float32)
+    w[:valid] = 1.0
+    batch = shard_batch(
+        mesh,
+        {
+            "lr": jnp.asarray(padded["lr"]),
+            "hr": jnp.asarray(padded["hr"]),
+            "weight": jnp.asarray(w),
+        },
+    )
+    _, loss_sum, n = step({}, batch)
+    got = float(loss_sum) / float(n)
+
+    expected = np.mean(
+        [
+            float(loss_fn(apply(jnp.asarray(lr5[i : i + 1])),
+                          jnp.asarray(hr5[i : i + 1])))
+            for i in range(5)
+        ]
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5)

@@ -111,8 +111,14 @@ def make_eval_step(
     def _shard_eval(states, lr, hr, w):
         preds = apply_fn(lr)
         target = hr
-        loss_delta = loss_fn(preds, target) * jnp.sum(w)
-        loss_delta = lax.psum(loss_delta, DATA_AXIS)
+        # Per-sample losses weighted by w so padded rows (w=0, duplicated
+        # last sample — parallel/mesh.py pad_batch) contribute exactly
+        # nothing: val/loss is invariant to B % n_devices. The reference
+        # never pads (Lightning drops/redistributes), model.py:87-105.
+        per_sample = jax.vmap(lambda p, t: loss_fn(p[None], t[None]))(
+            preds, target
+        )
+        loss_delta = lax.psum(jnp.sum(per_sample * w), DATA_AXIS)
         n_delta = lax.psum(jnp.sum(w), DATA_AXIS)
 
         lr_up = lr
