@@ -223,3 +223,58 @@ def test_cli_export_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(back)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_strategy_fsdp_defaults_mesh(tmp_path):
+    """trainer.strategy='fsdp' must shard params by default (mesh.fsdp=2)
+    instead of silently no-opping (reference train.py:142-146)."""
+    p = _write_run_config(tmp_path)
+    txt = p.read_text().replace('strategy = "auto"', 'strategy = "fsdp"')
+    p.write_text(txt)
+    _, _, t, _, _ = load_run_config(p, res_dir=ROOT / "res")
+    assert t.mesh.fsdp == 2
+    # an explicit mesh.fsdp wins over the legacy knob
+    txt = txt.replace("fsdp = 1", "fsdp = 4")
+    p.write_text(txt)
+    _, _, t, _, _ = load_run_config(p, res_dir=ROOT / "res")
+    assert t.mesh.fsdp == 4
+
+
+def test_mesh_remat_forces_memory_efficient(tmp_path):
+    """trainer.mesh.remat=true flips the model's remat path on."""
+    p = _write_run_config(tmp_path)
+    txt = p.read_text().replace(
+        "[trainer.mesh]", "[trainer.mesh]\nremat = true"
+    )
+    p.write_text(txt)
+    _, m, _, _, _ = load_run_config(p, res_dir=ROOT / "res")
+    assert m.memory_efficient is True
+
+
+def test_inference_engine_crop_p(tmp_path):
+    """crop_p<1 crops the padded input per crop_mode before normalization
+    (reference run_inference_on_file.py:144-152, transforms/crop.py:4-62)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmm_superres_denoise_tpu.cli import load_run_config as lrc
+    from xmm_superres_denoise_tpu.infer.run_file import InferenceEngine
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    p = _write_run_config(tmp_path)
+    ds, m, _, _, _ = lrc(p, res_dir=ROOT / "res")
+    model = build_model(m, (32, 32), (64, 64))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    raw = np.random.default_rng(0).uniform(0, 1, (28, 30)).astype(np.float32)
+
+    eng = InferenceEngine(m, ds, params, crop_p=0.5)
+    pred, inp = eng(raw)
+    assert inp.shape == (16, 16)          # 32 * 0.5, center crop
+    assert pred.shape == (32, 32)         # SR 2x of the crop
+
+    eng_full = InferenceEngine(m, ds, params)
+    pred_f, inp_f = eng_full(raw)
+    assert inp_f.shape == (32, 32) and pred_f.shape == (64, 64)
+    # the center-cropped input equals the matching slice of the full input
+    np.testing.assert_allclose(inp, inp_f[8:24, 8:24], rtol=1e-6)

@@ -57,6 +57,12 @@ def load_run_config(path: Path, res_dir: Path = RES_DIR):
     sc_dict, loss_config = load_scaling_tables(loss_toml, dataset_config.scaling)
 
     trainer_config = TrainerCfg(**cfg.get("trainer", {}))
+    if trainer_config.mesh.remat and not model_config.memory_efficient:
+        # mesh.remat == the reference's activation-checkpointing strategy
+        # knob (train.py:142-146): force the model's remat path on.
+        model_config = model_config.model_copy(
+            update={"memory_efficient": True}
+        )
     return dataset_config, model_config, trainer_config, sc_dict, loss_config
 
 
@@ -135,7 +141,10 @@ def cmd_infer(args) -> int:
 
     mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype)
+    engine = InferenceEngine(
+        m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
+        crop_p=args.crop_p,
+    )
     p_in, p_pred = infer_file(
         Path(args.fits), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
@@ -258,6 +267,9 @@ def main(argv=None) -> int:
     p.add_argument("--plot", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving mode (f32 is the parity mode)")
+    p.add_argument("--crop_p", type=float, default=1.0,
+                   help="crop fraction applied after padding, origin per the "
+                        "dataset crop_mode (1.0 = no crop, reference default)")
     p.set_defaults(func=cmd_infer)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")

@@ -200,7 +200,10 @@ class MeshCfg(BaseModel):
 
     data: Union[PositiveInt, Literal["auto"]] = "auto"
     fsdp: PositiveInt = 1
-    remat: bool = False  # activation rematerialization (FSDP ckpt equivalent)
+    # Activation rematerialization: forces `memory_efficient` on the model
+    # (the reference FSDPStrategy's activation_checkpointing_policy,
+    # train.py:142-146) — applied in cli.load_run_config.
+    remat: bool = False
 
 
 class TrainerCfg(BaseModel):
@@ -211,9 +214,17 @@ class TrainerCfg(BaseModel):
     epochs: PositiveInt = 50
     log_images_every_n_epochs: NonNegativeInt = 0
     seed: int = 0
-    # Legacy reference keys accepted for config compatibility (train.py:141-155):
+    # Legacy reference keys accepted for config compatibility (train.py:141-155).
+    # `strategy="fsdp"` is honored: it defaults the mesh to a 2-way fsdp axis
+    # when the mesh section didn't already shard params (see validator).
     strategy: Literal["auto", "ddp", "fsdp"] = "auto"
     devices: Union[PositiveInt, Literal["auto"]] = "auto"
+
+    @model_validator(mode="after")
+    def _honor_legacy_strategy(self):
+        if self.strategy == "fsdp" and self.mesh.fsdp == 1:
+            self.mesh.fsdp = 2
+        return self
 
     _norm_ckpt = field_validator("checkpoint_path", "checkpoint_root", mode="before")(
         _empty_to_none

@@ -45,10 +45,17 @@ class InferenceEngine:
         params,
         det_mask: Optional[np.ndarray] = None,
         dtype=jnp.float32,
+        crop_p: float = 1.0,
     ):
         """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
         normalization/denormalization stay f32 for product fidelity) — the
-        serving configuration. f32 (default) is the parity configuration."""
+        serving configuration. f32 (default) is the parity configuration.
+
+        `crop_p` < 1 crops the padded input to that fraction before
+        normalization, origin per `dataset_config.crop_mode` — the reference
+        applies `Crop(crop_p=1.0, mode=crop_mode)` at this exact point
+        (run_inference_on_file.py:144-152), so 1.0 (identity) is the
+        production default."""
         cfg = dataset_config
         self.lr_res = cfg.lr.res
         self.hr_res = cfg.hr.res if cfg.hr else cfg.lr.res
@@ -74,12 +81,25 @@ class InferenceEngine:
         model = self.model
         lr_res = self.lr_res
 
+        if not 0.0 < crop_p <= 1.0:
+            raise ValueError(f"crop_p must be in (0, 1], got {crop_p}")
+        crop_args = None
+        if crop_p < 1.0:
+            from ..ops.preprocess import crop_fractions
+
+            crop_args = (crop_p, *crop_fractions(cfg.crop_mode, crop_p))
+
         @jax.jit
         def _run(params, raw):  # raw: (B, H, W) native geometry, f32
             x = raw
             if mask is not None:
                 x = x * mask
-            x = pad_to_res(x, lr_res)[..., None]  # NHWC
+            x = pad_to_res(x, lr_res)
+            if crop_args is not None:
+                from ..ops.preprocess import crop
+
+                x = crop(x, *crop_args)
+            x = x[..., None]  # NHWC
             x = nz.normalize_lr(x)
             pred = model.apply(params, x.astype(dtype)).astype(jnp.float32)
             pred = jnp.clip(pred, 0.0, 1.0)
