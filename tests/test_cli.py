@@ -110,6 +110,7 @@ def test_cli_fit_smoke(tmp_path, monkeypatch):
     assert panels, "expected display panels from the image logger"
 
 
+@pytest.mark.slow
 def test_cli_end2end_with_onnx_checkpoint(tmp_path):
     """Full CLI chain: synthetic PPS dir + ONNX weights -> products."""
     import jax

@@ -5,6 +5,10 @@ The reference RDG returns its input unchanged (drct.py:200-203, SURVEY.md
 torch reference below implements the FIXED semantics.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavyweight numerics; default path runs -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Extended metric suite: identity/ordering/range properties + torch GMSD check."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavyweight numerics; default path runs -m 'not slow'
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

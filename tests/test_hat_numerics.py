@@ -1,5 +1,9 @@
 """HAT OCAB (overlapping cross-attention) vs an independent torch computation."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavyweight numerics; default path runs -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

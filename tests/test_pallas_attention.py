@@ -1,5 +1,9 @@
 """Fused attention-core kernel vs the XLA path (interpret mode on CPU)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavyweight numerics; default path runs -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

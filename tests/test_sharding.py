@@ -44,6 +44,7 @@ def test_pad_batch():
     assert padded["lr"].shape[0] == 8 and valid == 5
 
 
+@pytest.mark.slow
 def test_swinir_dp_train_step():
     """Transformer DP step over the 8-device mesh (shifted windows active)."""
     mesh = make_mesh(data=8)
@@ -69,6 +70,7 @@ def test_swinir_dp_train_step():
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_restormer_fsdp_step():
     """GSPMD FSDP step: Restormer params sharded over the fsdp axis."""
     mesh = make_mesh(data=4, fsdp=2)

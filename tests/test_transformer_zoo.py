@@ -1,5 +1,9 @@
 """Transformer zoo smoke tests: shapes, finiteness, gradients (tiny configs)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavyweight numerics; default path runs -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

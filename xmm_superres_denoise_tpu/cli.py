@@ -228,9 +228,20 @@ def cmd_export(args) -> int:
     )
     out = Path(args.out)
     if out.suffix == ".onnx":
-        from .infer.onnx_import import export_onnx_params
+        from .models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
 
-        export_onnx_params(state.params, out)
+        if isinstance(model, (GeneratorRRDB_SR, GeneratorRRDB_DN)):
+            # Full runnable graph (nodes + torch-named weights) — the
+            # reference's deployment artifact format.
+            from .infer.onnx_export import export_rrdb_onnx_model
+
+            export_rrdb_onnx_model(model, state.params, out)
+        else:
+            # Transformers: torch-named weight initializers (importable by
+            # import_onnx_params; graph emission is RRDB-only for now).
+            from .infer.onnx_import import export_onnx_params
+
+            export_onnx_params(state.params, out)
     else:
         save_params_npz(out, state.params)
     print(json.dumps({"exported": str(out), "from_step": int(step)}))

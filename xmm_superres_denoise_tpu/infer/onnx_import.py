@@ -10,9 +10,15 @@ parameter pytree:
 
   * minimal protobuf reader (varint / length-delimited) for
     ModelProto -> GraphProto -> TensorProto fields,
-  * torch->flax name normalization for the RRDB models
-    (conv "weight" (O, I, kh, kw) -> HWIO kernel via (2, 3, 1, 0) transpose),
-  * shape-aware fallback matching by graph order for unrecognized names.
+  * flax<->torch naming for EVERY model family (RRDB + SwinIR/SwinFIR/
+    DRCT/HAT/Restormer — :func:`flax_to_torch_name`), with conv
+    "weight" (O, I, kh, kw) -> HWIO kernel via (2, 3, 1, 0) transpose and
+    Linear (out, in) -> (in, out),
+  * shape-order fallback for exporter-renamed graphs, REFUSED when shapes
+    are ambiguous (repeated transformer blocks would silently scramble).
+
+Full runnable graph EXPORT lives in onnx_export.py; graph EXECUTION (an
+onnxruntime stand-in for the RRDB op subset) in onnx_runtime_lite.py.
 """
 
 from __future__ import annotations
@@ -147,15 +153,115 @@ def _flax_path(keypath) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in keypath)
 
 
-def _normalize_torch_name(name: str) -> str:
-    """torch state-dict name -> flax RRDB path (rrdb.py module names).
+# Flax module segments whose trailing "_<k>" is part of the NAME, not a
+# torch ModuleList index (Restormer level-transition modules).
+_ATOMIC_SEGMENTS = {
+    "down1_2", "down2_3", "down3_4", "up4_3", "up3_2", "up2_1",
+}
 
-    conv_first.weight        -> trunk/conv_first/kernel
-    rrdb.0.RDB1.conv1.weight -> trunk/rrdb_0/RDB1/conv1/kernel
-    trunk_conv.weight        -> trunk/trunk_conv/kernel
-    upsampling.0.weight      -> upconv_0/kernel (Sequential stride of 3:
-                                conv, lrelu, pixelshuffle per stage)
+
+def flax_to_torch_name(path: str) -> str:
+    """Flax param path -> reference torch state-dict name, for every model
+    family (RRDB rrdb.py / Swin zoo swin_common.py+swinir.py+drct.py+hat.py /
+    Restormer restormer.py). The flax module names deliberately mirror the
+    reference's torch attribute names, so this is a small set of idiom
+    bridges (cited to the reference definitions):
+
+      RRDB   trunk/<m>            -> <m>     (trunk is flattened in torch)
+             trunk/rrdb_<i>       -> rrdb.<i>
+             upconv_<i>           -> upsampling.<3i>  (conv,lrelu,PS per
+                                     stage — generator_rrdb.py:92-101)
+      Swin   layers_<i>/...       -> layers.<i>...
+             blocks_<j>/overlap_attn directly under layers_<i> gain the
+             torch `residual_group` level (hat.py:553-563; my HAT flattens)
+             patch_embed_norm     -> patch_embed.norm (modules.py:450-455)
+             conv_before_upsample -> conv_before_upsample.0 (Sequential)
+             upsample/conv_<k>    -> upsample.<2k> (conv,PixelShuffle pairs)
+      SwinFIR conv/F/conv1        -> conv.F.conv1.0 (Sequential conv+lrelu,
+                                     swinfir.py:70-73)
+             conv/S/body_<k>      -> conv.S.body.<k>
+      HAT    conv_block/cab_<k>   -> conv_block.cab.<k> (hat.py:36-41)
+             conv_block/ca/attention_<k> -> conv_block.cab.3.attention.<k>
+                                     (ChannelAttention is cab[3], hat.py:19-26)
+      Restormer patch_embed       -> patch_embed.proj (restormer.py:173)
+             encoder_level1_<j>   -> encoder_level1.<j> (Sequential)
+             down*/up*/body       -> body.0 (Sequential conv+PixelShuffle)
+             norm1|norm2 weight/bias -> norm<k>.body.* (LayerNorm wrapper,
+                                     restormer.py:60-71)
+
+    Leaves: kernel/scale/weight -> weight; bias -> bias; everything else
+    (relative_position_bias_table, temperature, ...) unchanged.
     """
+    parts = path.split("/")
+    leaf = {"kernel": "weight", "scale": "weight"}.get(parts[-1], parts[-1])
+    mods = parts[:-1]
+    out: List[str] = []
+    for i, m in enumerate(mods):
+        prev = out[-1] if out else ""
+        if m == "trunk":
+            continue  # RRDB trunk flattened in torch naming
+        if m.startswith("rrdb_"):
+            out.extend(["rrdb", m.split("_")[1]])
+        elif m.startswith("upconv_"):
+            out.extend(["upsampling", str(int(m.split("_")[1]) * 3)])
+        elif m == "patch_embed_norm":
+            out.extend(["patch_embed", "norm"])
+        elif m == "conv_before_upsample":
+            out.extend(["conv_before_upsample", "0"])
+        elif m.startswith("conv_") and prev == "upsample" and m[5:].isdigit():
+            out.append(str(int(m[5:]) * 2))
+        elif m == "conv1" and prev == "F":
+            out.extend(["conv1", "0"])
+        elif m == "ca" and prev == "conv_block":
+            out.extend(["cab", "3"])
+        elif (
+            (m.startswith("blocks_") or m == "overlap_attn")
+            and prev.startswith("layers.")  # HAT: flax flattens residual_group
+        ) or (
+            (m.startswith("blocks_") or m == "overlap_attn")
+            and out
+            and out[-1].isdigit()
+            and len(out) >= 2
+            and out[-2] == "layers"
+        ):
+            out.append("residual_group")
+            if m == "overlap_attn":
+                out.append(m)
+            else:
+                out.extend(["blocks", m.split("_")[1]])
+        elif m == "patch_embed" and leaf == "weight" and i == len(mods) - 1:
+            out.extend(["patch_embed", "proj"])  # Restormer OverlapPatchEmbed
+        elif m == "body" and prev.split(".")[-1] in (
+            "down1_2", "down2_3", "down3_4", "up4_3", "up3_2", "up2_1",
+        ):
+            out.extend(["body", "0"])
+        elif m in _ATOMIC_SEGMENTS:
+            out.append(m)
+        elif "_" in m and m.rsplit("_", 1)[1].isdigit() and m.rsplit("_", 1)[
+            0
+        ] not in ("norm", "swin", "adjust", "conv", "fc"):
+            stem, idx = m.rsplit("_", 1)
+            out.extend([stem, idx])
+        else:
+            out.append(m)
+    # Restormer LayerNorm wrapper: norm1.weight -> norm1.body.weight. Only
+    # Restormer norms carry a literal `weight` leaf (ChannelLayerNorm);
+    # Swin LayerNorms use flax `scale`, already mapped above — distinguish
+    # by the ORIGINAL leaf name.
+    if parts[-1] in ("weight", "bias") and out and out[-1] in ("norm1", "norm2"):
+        is_restormer_norm = parts[-1] == "weight" or any(
+            s in path for s in ("encoder_level", "decoder_level", "latent",
+                                "refinement")
+        )
+        if is_restormer_norm:
+            out.append("body")
+    return ".".join(out + [leaf])
+
+
+def _normalize_torch_name(name: str) -> str:
+    """torch state-dict name -> flax RRDB path (legacy direction, kept for
+    checkpoints whose names survive ONNX export; the primary import path
+    now matches flax->torch via :func:`flax_to_torch_name`)."""
     for prefix in ("model.", "module.", "net."):
         if name.startswith(prefix):
             name = name[len(prefix) :]
@@ -181,13 +287,21 @@ def _normalize_torch_name(name: str) -> str:
 
 
 def import_onnx_params(
-    onnx_path: Union[str, Path], params_template: Any
+    onnx_path: Union[str, Path],
+    params_template: Any,
+    allow_shape_fallback: bool = True,
 ) -> Any:
     """Initializers -> Flax params, NCHW->HWIO transposed.
 
-    Name-matched first (torch export conventions); any leftovers are matched
-    by (transposed) shape in graph order — robust to exporter renamings like
-    `onnx::Conv_123`.
+    Matching order:
+      1. direct: torch name computed from each flax path
+         (:func:`flax_to_torch_name` — covers RRDB + the full transformer
+         zoo, so real torch-exported checkpoints map without guessing);
+      2. legacy normalized-name map (RRDB conventions);
+      3. shape fallback in graph order (exporter renamings like
+         `onnx::Conv_123`) — REFUSED when the shape is ambiguous among the
+         remaining targets (repeated same-shape Swin blocks would silently
+         scramble); disable entirely with allow_shape_fallback=False.
     """
     inits = read_onnx_initializers(onnx_path)
 
@@ -196,41 +310,75 @@ def import_onnx_params(
     assigned: Dict[int, np.ndarray] = {}
     used = set()
 
-    def _converted(arr: np.ndarray, target_shape) -> Optional[np.ndarray]:
+    def _converted(
+        arr: np.ndarray, target_shape, is_kernel: bool = True
+    ) -> Optional[np.ndarray]:
         if arr.ndim == 4 and tuple(arr.transpose(2, 3, 1, 0).shape) == tuple(
             target_shape
         ):
             return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
-        if arr.ndim == 2 and tuple(arr.T.shape) == tuple(target_shape) and (
-            arr.shape != tuple(target_shape) or arr.shape[0] == arr.shape[1]
+        if (
+            arr.ndim == 2
+            and is_kernel
+            and tuple(arr.T.shape) == tuple(target_shape)
+            and (arr.shape != tuple(target_shape) or arr.shape[0] == arr.shape[1])
         ):
             return np.ascontiguousarray(arr.T)  # torch Linear (out, in) -> (in, out)
         if tuple(arr.shape) == tuple(target_shape):
             return arr
         return None
 
-    # pass 1: by normalized name
-    norm_map = {_normalize_torch_name(k): k for k in inits}
+    # pass 1: direct flax -> torch names
     for i, (path, leaf) in enumerate(targets):
-        key = norm_map.get(path)
-        if key is None:
+        key = flax_to_torch_name(path)
+        if key not in inits:
             continue
-        conv = _converted(inits[key], leaf.shape)
+        conv = _converted(inits[key], leaf.shape, path.endswith("/kernel"))
         if conv is not None:
             assigned[i] = conv.astype(np.asarray(leaf).dtype)
             used.add(key)
 
-    # pass 2: leftovers by shape in graph order
-    leftovers = [k for k in inits if k not in used]
+    # pass 1b: legacy torch-name normalization (RRDB conventions)
+    norm_map = {_normalize_torch_name(k): k for k in inits if k not in used}
     for i, (path, leaf) in enumerate(targets):
         if i in assigned:
             continue
-        for k in leftovers:
-            conv = _converted(inits[k], leaf.shape)
-            if conv is not None:
-                assigned[i] = conv.astype(np.asarray(leaf).dtype)
-                leftovers.remove(k)
-                break
+        key = norm_map.get(path)
+        if key is None or key in used:
+            continue
+        conv = _converted(inits[key], leaf.shape, path.endswith("/kernel"))
+        if conv is not None:
+            assigned[i] = conv.astype(np.asarray(leaf).dtype)
+            used.add(key)
+
+    # pass 2: leftovers by shape in graph order, ambiguity-guarded
+    if allow_shape_fallback:
+        def _shape_key(shape):
+            return tuple(shape)
+
+        remaining = [i for i in range(len(targets)) if i not in assigned]
+        shape_counts: Dict[tuple, int] = {}
+        for i in remaining:
+            shape_counts[_shape_key(targets[i][1].shape)] = (
+                shape_counts.get(_shape_key(targets[i][1].shape), 0) + 1
+            )
+        leftovers = [k for k in inits if k not in used]
+        for i in remaining:
+            path, leaf = targets[i]
+            if shape_counts[_shape_key(leaf.shape)] > 1:
+                raise ValueError(
+                    f"ONNX import: unmatched parameter {path!r} has a shape "
+                    f"shared by {shape_counts[_shape_key(leaf.shape)]} "
+                    "unmatched targets — shape-order fallback would be "
+                    "ambiguous (repeated transformer blocks). The checkpoint "
+                    "names don't follow a known convention."
+                )
+            for k in leftovers:
+                conv = _converted(inits[k], leaf.shape)
+                if conv is not None:
+                    assigned[i] = conv.astype(np.asarray(leaf).dtype)
+                    leftovers.remove(k)
+                    break
 
     missing = [targets[i][0] for i in range(len(targets)) if i not in assigned]
     if missing:
@@ -288,39 +436,21 @@ def write_onnx_initializers(
     return path
 
 
-def _flax_to_torch_name(path: str) -> str:
-    """Inverse of :func:`_normalize_torch_name` for the RRDB models."""
-    parts = path.split("/")
-    leaf = {"kernel": "weight", "bias": "bias"}[parts[-1]]
-    mods = parts[:-1]
-    out: List[str] = []
-    i = 0
-    while i < len(mods):
-        m = mods[i]
-        if m == "trunk":
-            pass  # flattened away in torch naming
-        elif m.startswith("rrdb_"):
-            out.extend(["rrdb", m.split("_")[1]])
-        elif m.startswith("upconv_"):
-            out.extend(["upsampling", str(int(m.split("_")[1]) * 3)])
-        else:
-            out.append(m)
-        i += 1
-    return ".".join(out + [leaf])
-
-
 def export_onnx_params(params: Any, path: Union[str, Path]) -> Path:
-    """Export a Flax RRDB parameter pytree as ONNX initializers with torch
-    state-dict naming (HWIO -> OIHW), interchangeable with the reference's
-    shipped checkpoint format."""
+    """Export a Flax parameter pytree (any model family) as ONNX initializers
+    with torch state-dict naming (HWIO -> OIHW, Linear (in,out) -> (out,in)),
+    interchangeable with the reference's shipped checkpoint format."""
     if "params" in params:
         params = params["params"]
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     tensors: Dict[str, np.ndarray] = {}
     for keypath, leaf in flat:
-        name = _flax_to_torch_name(_flax_path(keypath))
+        fpath = _flax_path(keypath)
+        name = flax_to_torch_name(fpath)
         arr = np.asarray(leaf)
         if arr.ndim == 4:  # HWIO -> OIHW
             arr = np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+        elif arr.ndim == 2 and fpath.endswith("/kernel"):
+            arr = np.ascontiguousarray(arr.T)  # Linear (in, out) -> (out, in)
         tensors[name] = arr
     return write_onnx_initializers(path, tensors)
