@@ -145,3 +145,64 @@ def test_device_and_host_binning_agree(tmp_path):
     host, _ = bin_events(events, gti, device=False)
     dev, _ = bin_events(events, gti, device=True)
     np.testing.assert_array_equal(host, dev)
+
+
+def test_mos_filter_family(tmp_path):
+    """EMOS events bin with the MOS quality cuts — (FLAG & 0x766ba000)==0 &&
+    PATTERN<=12 (xmmsas_tools.py:437-444,536-539) — selected from the event
+    header's INSTRUME, and differ from the PN cuts on the same data."""
+    from xmm_superres_denoise_tpu.ops.events import (
+        detxy_image_from_event_file,
+        instrument_filter,
+    )
+
+    g = np.random.default_rng(7)
+    n = 6000
+    x0, x1, y0, y1 = -16120, 16119, -16440, 16439
+    # FLAG values exercising the mask: 0 (clean); 0x1/0x10 OUTSIDE the MOS
+    # mask (MOS keeps, PN rejects); the mask's lowest set bit (both reject).
+    flags = g.choice(
+        np.array([0, 0x1, 0x10, 0x766BA000 & -0x766BA000], np.int64), n
+    ).astype(np.int32)
+    cols = {
+        "TIME": np.sort(g.uniform(0, 30_000, n)),
+        "DETX": g.integers(x0, x1 + 1, n).astype(np.int32),
+        "DETY": g.integers(y0, y1 + 1, n).astype(np.int32),
+        "PI": g.integers(150, 12_000, n).astype(np.int32),
+        "PATTERN": g.integers(0, 26, n).astype(np.int32),
+        "FLAG": flags,
+    }
+    path = tmp_path / "mos_events.fits"
+    write_bintable(
+        path, cols, extname="EVENTS",
+        header={"INSTRUME": "EMOS1", "ONTIME": 30_000.0},
+        column_limits={"DETX": (x0, x1), "DETY": (y0, y1)},
+    )
+
+    img, meta, hdr = detxy_image_from_event_file(path)
+    # independent restatement of the MOS evselect expression
+    sel_mos = (
+        (cols["PI"] >= 500)
+        & (cols["PI"] <= 2000)
+        & ((cols["FLAG"] & 0x766BA000) == 0)
+        & (cols["PATTERN"] <= 12)
+    )
+    assert img.sum() == sel_mos.sum()
+
+    # PN cuts on the same data give a different count (mask + pattern window)
+    sel_pn = (
+        (cols["PI"] >= 500)
+        & (cols["PI"] <= 2000)
+        & (cols["FLAG"] == 0)
+        & (cols["PATTERN"] <= 4)
+    )
+    assert sel_pn.sum() != sel_mos.sum()
+    img_pn, _, _ = detxy_image_from_event_file(path, instrument="pn")
+    assert img_pn.sum() == sel_pn.sum()
+
+    # alias resolution
+    assert instrument_filter("m2")["pattern_max"] == 12
+    assert instrument_filter("EPN")["flag_mask"] == -1
+    import pytest as _p
+    with _p.raises(ValueError, match="Unknown EPIC instrument"):
+        instrument_filter("rgs")

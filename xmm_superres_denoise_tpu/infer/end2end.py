@@ -55,7 +55,7 @@ def detxy_for_obsid(
     evl = _pick(pps["evl_files"], instrument)
     fbk = _pick(pps["fbk_files"], instrument) if pps["fbk_files"] else None
     img, meta, hdr = detxy_image_from_event_file(
-        evl, fbk, max_expo_ks=max_expo_ks
+        evl, fbk, max_expo_ks=max_expo_ks, instrument=instrument
     )
     suffix = f"{max_expo_ks:.0f}ks" if max_expo_ks > 0 else "full"
     out = proc_dir / f"{instrument}_500_2000_detxy_image_{suffix}.fits"

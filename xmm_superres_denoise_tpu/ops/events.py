@@ -13,9 +13,10 @@ path (BASELINE.md north-star) runs without the SAS toolchain:
      (max_expo_gti, xmmsas_tools.py:160-213 — including its keep-the-
      overshoot quirk on the last accumulated GTI, preserved deliberately
      and documented).
-  3. Event filtering: EPN `FLAG==0 && PATTERN<=4 && PI>150` + GTI membership
-     (filter_events_gti, xmmsas_tools.py:437-444).
-  4. DETX/DETY binning with `PI in [500,2000] && FLAG==0 && PATTERN in [0:4]`
+  3. Event filtering per instrument family + GTI membership: EPN
+     `FLAG==0 && PATTERN<=4`, EMOS `(FLAG & 0x766ba000)==0 && PATTERN<=12`
+     (filter_events_gti, xmmsas_tools.py:437-444; INSTRUMENT_FILTERS below).
+  4. DETX/DETY binning with `PI in [500,2000]` + the instrument cuts
      at bin 80 (=4"/px) over the detector's TLMIN/TLMAX bounds — the
      `evselect imagebinning=binSize` geometry (make_detxy_image,
      xmmsas_tools.py:469-547). The histogram runs on device as a
@@ -39,6 +40,32 @@ Array = jnp.ndarray
 
 PN_BIN_SIZE = 80  # in 0.05" units -> 4"/pixel
 PN_PI_BAND = (500, 2000)  # eV
+
+# Per-instrument event-quality filters (reference xmmsas_tools.py:437-444,
+# 536-539): EPN uses `FLAG==0 && PATTERN<=4`; EMOS uses the #XMMEA_EM-style
+# mask `(FLAG & 0x766ba000)==0 && PATTERN<=12`. FLAG==0 is expressed
+# uniformly as (FLAG & mask)==0 with an all-ones mask.
+INSTRUMENT_FILTERS = {
+    "EPN": {"flag_mask": -1, "pattern_max": 4},
+    "EMOS1": {"flag_mask": 0x766BA000, "pattern_max": 12},
+    "EMOS2": {"flag_mask": 0x766BA000, "pattern_max": 12},
+}
+_INSTRUMENT_ALIASES = {
+    "pn": "EPN", "m1": "EMOS1", "m2": "EMOS2",
+    "mos1": "EMOS1", "mos2": "EMOS2",
+}
+
+
+def instrument_filter(name: str) -> dict:
+    """Look up the quality-filter family for an instrument name or alias
+    ('pn'/'m1'/'m2' or an event header's INSTRUME value)."""
+    key = _INSTRUMENT_ALIASES.get(str(name).strip().lower(), str(name).strip().upper())
+    if key not in INSTRUMENT_FILTERS:
+        raise ValueError(
+            f"Unknown EPIC instrument {name!r}; expected one of "
+            f"{sorted(INSTRUMENT_FILTERS) + sorted(_INSTRUMENT_ALIASES)}"
+        )
+    return INSTRUMENT_FILTERS[key]
 
 
 # --------------------------------------------------------------------------- #
@@ -189,7 +216,7 @@ def load_event_list(path: Path) -> EventList:
     )
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "bin_size", "max_gti"))
+@partial(jax.jit, static_argnames=("nx", "ny", "bin_size", "max_gti", "flag_mask"))
 def _bin_events_device(
     detx: Array,
     dety: Array,
@@ -209,12 +236,15 @@ def _bin_events_device(
     pi_lo: int,
     pi_hi: int,
     pattern_max: int,
+    flag_mask: int = -1,
 ) -> Array:
     """Filter + histogram events into an (ny, nx) image on device.
 
-    One fused pass: predicates (PI band, FLAG==0, PATTERN, GTI membership)
-    -> flat pixel index -> scatter-add. Static shapes: event arrays are
-    padded by the host wrapper; invalid rows carry weight 0.
+    One fused pass: predicates (PI band, (FLAG & mask)==0, PATTERN, GTI
+    membership) -> flat pixel index -> scatter-add. Static shapes: event
+    arrays are padded by the host wrapper; invalid rows carry weight 0.
+    flag_mask=-1 (all ones) == the EPN FLAG==0 cut; EMOS uses 0x766ba000
+    (xmmsas_tools.py:536-539).
     """
     in_gti = jnp.zeros(time.shape, bool)
     for g in range(max_gti):
@@ -223,7 +253,7 @@ def _bin_events_device(
     valid = (
         (pi >= pi_lo)
         & (pi <= pi_hi)
-        & (flag == 0)
+        & ((flag & jnp.int32(flag_mask)) == 0)
         & (pattern <= pattern_max)
         & in_gti
     )
@@ -248,6 +278,7 @@ def _bin_events_host(
     y0: int,
     pi_band: Tuple[int, int],
     pattern_max: int,
+    flag_mask: int = -1,
 ) -> np.ndarray:
     """Vectorized numpy filter + bincount (the fast path when events live on
     the host: the device kernel's host->device transfer dominates through
@@ -255,7 +286,7 @@ def _bin_events_host(
     sel = (
         (events.pi >= pi_band[0])
         & (events.pi <= pi_band[1])
-        & (events.flag == 0)
+        & ((events.flag & np.int32(flag_mask)) == 0)
         & (events.pattern <= pattern_max)
     )
     if gti is not None and len(gti.start):
@@ -278,6 +309,7 @@ def bin_events(
     bin_size: int = PN_BIN_SIZE,
     pi_band: Tuple[int, int] = PN_PI_BAND,
     pattern_max: int = 4,
+    flag_mask: int = -1,
     pad_to: int = 2**20,
     device: bool = False,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
@@ -298,7 +330,8 @@ def bin_events(
 
     if not device:
         img = _bin_events_host(
-            events, gti, nx, ny, bin_size, x0, y0, pi_band, pattern_max
+            events, gti, nx, ny, bin_size, x0, y0, pi_band, pattern_max,
+            flag_mask,
         )
         meta = {
             "bin_size": bin_size, "x0": x0, "y0": y0, "nx": nx, "ny": ny,
@@ -341,6 +374,7 @@ def bin_events(
         pi_lo=pi_band[0],
         pi_hi=pi_band[1],
         pattern_max=pattern_max,
+        flag_mask=flag_mask,
     )
     meta = {
         "bin_size": bin_size,
@@ -359,13 +393,18 @@ def detxy_image_from_event_file(
     max_expo_ks: float = 20.0,
     bin_size: int = PN_BIN_SIZE,
     pi_band: Tuple[int, int] = PN_PI_BAND,
+    instrument: Optional[str] = None,
 ) -> Tuple[np.ndarray, Dict[str, float], Header]:
     """Full native chain: event FITS (+ optional FBKTSR) -> detxy image.
 
     The TPU-native equivalent of produce_detxy_image_for_inference.py's
     get_detxy_for_obs_id (GTI -> filter -> bin), minus the subprocess hops.
+    The quality-filter family (PN vs MOS) is selected from `instrument` or,
+    when None, the event header's INSTRUME keyword.
     """
     events = load_event_list(event_path)
+    inst = instrument or str(events.header.get("INSTRUME", "EPN"))
+    filt = instrument_filter(inst)
 
     gti = None
     if fbk_path is not None:
@@ -377,7 +416,10 @@ def detxy_image_from_event_file(
             gti = gti_from_rate(cols["TIME"], cols["RATE"], float(thr))
             gti = cap_gti_exposure(gti, max_expo_ks)
 
-    img, meta = bin_events(events, gti, bin_size=bin_size, pi_band=pi_band)
+    img, meta = bin_events(
+        events, gti, bin_size=bin_size, pi_band=pi_band,
+        pattern_max=filt["pattern_max"], flag_mask=filt["flag_mask"],
+    )
     if gti is None:
         meta["exposure"] = float(events.header.get("ONTIME", float("nan")))
     return img, meta, events.header
