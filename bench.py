@@ -95,6 +95,70 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
     print(batch * CHAIN / best)
 
 
+def _run_zoo_model(name: str, batch: int = 1) -> None:
+    """--model axis: transformer-zoo serving throughput at production config
+    (416 -> 832, bf16). Prints one JSON line; not part of the driver metric
+    (the flagship RRDB path is), but keeps zoo perf visible."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from xmm_superres_denoise_tpu.models.drct import DRCT
+    from xmm_superres_denoise_tpu.models.hat import HAT
+    from xmm_superres_denoise_tpu.models.restormer import Restormer
+    from xmm_superres_denoise_tpu.models.swinir import SwinFIR, SwinIR
+
+    kw = dict(img_size=416, patch_size=1, in_chans=1, embed_dim=180,
+              depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
+              mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle")
+    if name == "swinir":
+        model = SwinIR(**kw)
+    elif name == "swinfir":
+        model = SwinFIR(**kw)
+    elif name == "drct":
+        model = DRCT(**{**kw, "gc": 32})
+    elif name == "hat":
+        model = HAT(**kw)
+    elif name == "restormer":
+        model = Restormer(inp_channels=1, out_channels=1, dim=24)
+    else:
+        raise SystemExit(f"unknown zoo model {name!r}")
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 1)),
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+    fwd = jax.jit(
+        lambda v, t: jnp.sum(model.apply(v, t).astype(jnp.float32))
+    )
+    t0 = _time.perf_counter()
+    float(fwd(params, xb))
+    compile_s = _time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(fwd(params, xb))
+        best = min(best, _time.perf_counter() - t0)
+    print(
+        _json.dumps(
+            {
+                "metric": f"{name}_416to832_s_per_img",
+                "value": round(best / batch, 3),
+                "unit": "s/img",
+                "compile_s": round(compile_s, 1),
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
     results = {}
     candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
@@ -164,5 +228,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--pipeline":
         _run_pipeline(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--model":
+        _run_zoo_model(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 1)
     else:
         main()

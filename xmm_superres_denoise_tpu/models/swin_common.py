@@ -149,40 +149,15 @@ class Mlp(nn.Module):
         return x
 
 
-# Opt-in fused Pallas window attention (ops/pallas_attention.py). Enabled via
-# the XMMSR_PALLAS_ATTENTION=1 environment variable or set_pallas_attention().
-_PALLAS_ATTENTION = None  # None -> read env once
-
-
-def set_pallas_attention(enabled: Optional[bool]) -> None:
-    global _PALLAS_ATTENTION
-    _PALLAS_ATTENTION = enabled
-
-
-def pallas_attention_enabled() -> bool:
-    import os
-
-    if _PALLAS_ATTENTION is not None:
-        return _PALLAS_ATTENTION
-    return os.environ.get("XMMSR_PALLAS_ATTENTION", "0") == "1"
-
-
-def _attention_group(b_: int, nw: Optional[int]) -> int:
-    for g in (8, 4, 2, 1):
-        if b_ % g == 0 and (nw is None or nw % g == 0):
-            return g
-    return 1
-
-
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (modules.py:50-171).
 
     Input (B_, N, C) where B_ = B*nW and N = ws*ws; optional additive mask
-    (nW, N, N) applied per image's window group. With
-    XMMSR_PALLAS_ATTENTION=1 (or set_pallas_attention(True)), the attention
-    core runs as a fused Pallas kernel (ops/pallas_attention.py) keeping the
-    N x N logits VMEM-resident; qkv/proj stay as XLA GEMMs either way, so the
-    parameter tree is identical in both modes.
+    (nW, N, N) applied per image's window group. A fused Pallas attention
+    core was prototyped in rounds 1-2 and removed: Mosaic could not lower it
+    (value scatters; after rewriting to static ref stores, head_dim=30 lane
+    slices crash the remote AOT compiler) and its realized gain was zero —
+    see docs/PERFORMANCE.md "Pallas attention post-mortem".
     """
 
     dim: int
@@ -217,33 +192,20 @@ class WindowAttention(nn.Module):
         )
         qkv = qkv_layer(x)  # (B_, N, 3C)
 
-        if pallas_attention_enabled() and not self.is_initializing():
-            from ..ops.pallas_attention import attention_core_pallas
-
-            nw = mask.shape[0] if mask is not None else None
-            out = attention_core_pallas(
-                qkv,
-                bias,
-                mask,
-                num_heads=nh,
-                scale=scale,
-                group=_attention_group(b_, nw),
-            )
-        else:
-            qkv = qkv.reshape(b_, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, d)
-            attn = jnp.einsum(
-                "bhnd,bhmd->bhnm", q * scale, k,
-                preferred_element_type=jnp.float32,
-            )
-            attn = attn + bias[None]
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
-                attn = attn.reshape(b_, nh, n, n)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        qkv = qkv.reshape(b_, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, d)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
 
         return dense_torch_init("proj", c)(out)
 
