@@ -21,6 +21,16 @@ ON DEVICE this round (docs/PERFORMANCE.md "Pallas reconnaissance"):
 Geometry: input (B, H, W, C) with H % h_strip == 0, W % w_tile == 0; the
 wrapper pads H/W by (MH, MW) = (5 rows of halo rounded into leading-dim
 reads, 8 cols for sublane-aligned DMA offsets).
+
+ON-DEVICE RESULT (v5e, scripts/device_check_dense_block.py): compiles and
+runs bit-close to the XLA gather graph (rel err 0.46% in bf16), sustaining
+~177 TF/s inside the kernel — but the 5-deep halo forces a 1.875x tap
+recompute at the (16, 104) tile, and XLA's own conv emitter already runs
+the same block at ~184 TF/s (93% of the chip's 197 TF/s bf16 peak, RTT-
+corrected). Net: fusion cannot beat XLA here; the chip is compute-bound and
+the remaining lever is FLOP reduction (int8 MXU path / Winograd), not
+HBM-traffic elimination. Kept as a validated scaffold for a Winograd-in-
+VMEM variant.
 """
 
 from __future__ import annotations
@@ -169,9 +179,19 @@ def dense_block_s2d_pallas(
         )
 
     grid = (bsz, h // h_strip, w // w_tile)
+    # Mosaic stack-allocates the unrolled tap/roll intermediates without
+    # reuse (~35 MB at the production tile), far over the 16 MB scoped-VMEM
+    # compiler default — but well within v5e's physical VMEM. Raise the
+    # per-kernel limit instead of shrinking tiles (smaller tiles inflate the
+    # 5-deep halo recompute factor).
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x: manual halo DMA
             *(
