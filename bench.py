@@ -39,9 +39,11 @@ PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "600"))
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # (pipeline, batch) candidates, most-reliable first. "s2d" runs the whole
 # forward in the space-to-depth domain (ops/s2d_forward.py — every conv on
-# full 128-wide MXU lanes at 208^2); large batches amortize the measured
-# ~3 ms/op floor of this runtime (docs/PERFORMANCE.md).
-CANDIDATES = [("xla", 8), ("s2d", 8), ("s2d", 32), ("xla", 32), ("s2d", 64)]
+# full 128-wide MXU lanes at 208^2). "int8" is the statically-calibrated
+# w8a8 S2D path (ops/int8_forward.py — the v5e MXU's 394 TOPS mode; the
+# bf16 S2D path is compute-bound at ~93% of the 197 TF/s peak, so int8 is
+# the remaining serving lever, docs/PERFORMANCE.md).
+CANDIDATES = [("xla", 8), ("s2d", 8), ("int8", 8), ("int8", 32), ("s2d", 32)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:
@@ -66,6 +68,18 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
         from xmm_superres_denoise_tpu.ops.pallas_rrdb import make_fast_rrdb_forward
 
         forward = make_fast_rrdb_forward(model, params, dtype=jnp.bfloat16)
+    elif pipeline == "int8":
+        from xmm_superres_denoise_tpu.ops.int8_forward import (
+            make_int8_s2d_forward,
+        )
+
+        calib = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (4, 416, 416, 1)),
+            jnp.float32,
+        )
+        forward = make_int8_s2d_forward(
+            model, params, calib, dtype=jnp.bfloat16
+        )
     elif pipeline == "s2d":
         from xmm_superres_denoise_tpu.ops.s2d_forward import make_s2d_sr_forward
 

@@ -199,3 +199,64 @@ def test_infer_file_plotting(tmp_path):
                model_name="rrdb_denoise", plot=True)
     assert (tmp_path / "out" / "plot_in.png").exists()
     assert (tmp_path / "out" / "plot_out.png").exists()
+
+
+def test_engine_int8_close_to_f32():
+    """w8a8 quantized serving (lazy first-batch calibration) stays close to
+    the f32 parity mode and reuses the calibrated program on later calls."""
+    import jax
+    import jax.numpy as jnp
+
+    lr_res = 64
+    ds = DatasetCfg(
+        directory=Path("."),
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=lr_res),
+        hr=HrDatasetCfg(exp=50, clamp_max=0.0022336, res=lr_res),
+        scaling="sqrt",
+        type="boring",
+    )
+    mc = ModelCfg(
+        name="rrdb_denoise", memory_efficient=False, batch_size=1,
+        model=RrdbCfg(base_model="rrdb_denoise", filters=4, residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    model = build_model(mc, (lr_res, lr_res), (lr_res, lr_res))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, lr_res, lr_res, 1)))
+    engine32 = InferenceEngine(mc, ds, params)
+    engine8 = InferenceEngine(mc, ds, params, quantize=True)
+    raw = np.random.default_rng(9).uniform(0, 0.001, (64, 64)).astype(np.float32)
+    p32, _ = engine32(raw)
+    p8, _ = engine8(raw)
+    assert p8.shape == p32.shape
+    denom = max(np.abs(p32).max(), 1e-9)
+    assert np.abs(p8 - p32).max() / denom < 0.08  # int8 tolerance
+    # second call: calibrated program reused, same answer
+    p8b, _ = engine8(raw)
+    np.testing.assert_array_equal(p8, p8b)
+
+
+def test_engine_int8_rejects_non_rrdb():
+    import pytest as _pytest
+
+    ds = DatasetCfg(
+        directory=Path("."),
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=64),
+        hr=HrDatasetCfg(exp=50, clamp_max=0.0022336, res=64),
+        scaling="sqrt",
+        type="boring",
+    )
+    from xmm_superres_denoise_tpu.config.schema import TransformerCfg
+
+    mc = ModelCfg(
+        name="swinir", memory_efficient=False, batch_size=1,
+        model=TransformerCfg(
+            base_model="swinir", img_size=64, window_size=8, patch_size=1,
+            embed_dim=16, depths=[2], num_heads=[2], mlp_ratio=2.0,
+            upsampler="pixelshuffle",
+        ),
+        optimizer=OptimizerCfg(learning_rate=2e-4),
+    )
+    with _pytest.raises(ValueError, match="RRDB"):
+        InferenceEngine(mc, ds, {"params": {}}, quantize=True)

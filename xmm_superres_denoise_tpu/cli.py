@@ -143,7 +143,7 @@ def cmd_infer(args) -> int:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     engine = InferenceEngine(
         m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
-        crop_p=args.crop_p,
+        crop_p=args.crop_p, quantize=args.int8,
     )
     p_in, p_pred = infer_file(
         Path(args.fits), engine, Path(args.out),
@@ -192,7 +192,8 @@ def cmd_end2end(args) -> int:
 
     mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype)
+    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
+                             quantize=getattr(args, "int8", False))
     result = run_end2end(
         Path(args.pps), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
@@ -278,6 +279,9 @@ def main(argv=None) -> int:
     p.add_argument("--plot", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving mode (f32 is the parity mode)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 quantized serving (RRDB models; MXU int8 "
+                        "mode, ~1.6x bf16; scales calibrated on the input)")
     p.add_argument("--crop_p", type=float, default=1.0,
                    help="crop fraction applied after padding, origin per the "
                         "dataset crop_mode (1.0 = no crop, reference default)")
@@ -303,6 +307,8 @@ def main(argv=None) -> int:
     p.add_argument("--plot", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving mode (f32 is the parity mode)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 quantized serving (RRDB models)")
     p.set_defaults(func=cmd_end2end)
 
     p = sub.add_parser("detxy", help="event list -> detxy image (native or SAS)")

@@ -46,10 +46,17 @@ class InferenceEngine:
         det_mask: Optional[np.ndarray] = None,
         dtype=jnp.float32,
         crop_p: float = 1.0,
+        quantize: bool = False,
     ):
         """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
         normalization/denormalization stay f32 for product fidelity) — the
         serving configuration. f32 (default) is the parity configuration.
+
+        `quantize=True` serves the RRDB models through the statically
+        calibrated w8a8 space-to-depth path (`ops/int8_forward.py`, ~1.6x
+        bf16 on the v5e MXU's int8 mode). Activation scales are calibrated
+        lazily from the FIRST batch passed to the engine; fidelity is a
+        measured quantity (`ops.int8_forward.quantization_psnr`).
 
         `crop_p` < 1 crops the padded input to that fraction before
         normalization, origin per `dataset_config.crop_mode` — the reference
@@ -67,6 +74,16 @@ class InferenceEngine:
         self.model = build_model(
             model_config, (self.lr_res, self.lr_res), (self.hr_res, self.hr_res)
         )
+        self._quantize = bool(quantize)
+        self._f32_params = params  # pre-cast copy for weight quantization
+        if quantize:
+            from ..models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
+
+            if not isinstance(self.model, (GeneratorRRDB_SR, GeneratorRRDB_DN)):
+                raise ValueError(
+                    "quantize=True is supported for the RRDB models only "
+                    f"(got {type(self.model).__name__})"
+                )
         if dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating)
@@ -89,8 +106,7 @@ class InferenceEngine:
 
             crop_args = (crop_p, *crop_fractions(cfg.crop_mode, crop_p))
 
-        @jax.jit
-        def _run(params, raw):  # raw: (B, H, W) native geometry, f32
+        def _prep(raw):  # raw: (B, H, W) native geometry, f32
             x = raw
             if mask is not None:
                 x = x * mask
@@ -100,19 +116,46 @@ class InferenceEngine:
 
                 x = crop(x, *crop_args)
             x = x[..., None]  # NHWC
-            x = nz.normalize_lr(x)
-            pred = model.apply(params, x.astype(dtype)).astype(jnp.float32)
-            pred = jnp.clip(pred, 0.0, 1.0)
-            return nz.denormalize_hr(pred)[..., 0], nz.denormalize_lr(x)[..., 0]
+            return nz.normalize_lr(x)
 
-        self._run = _run
+        def _make_run(apply_fn):
+            @jax.jit
+            def _run(params, raw):
+                x = _prep(raw)
+                pred = apply_fn(params, x).astype(jnp.float32)
+                pred = jnp.clip(pred, 0.0, 1.0)
+                return (
+                    nz.denormalize_hr(pred)[..., 0],
+                    nz.denormalize_lr(x)[..., 0],
+                )
+
+            return _run
+
+        self._prep = jax.jit(_prep)
+        self._make_run = _make_run
+        self._dtype = dtype
+        if quantize:
+            self._run = None  # built lazily: first batch calibrates scales
+        else:
+            self._run = _make_run(
+                lambda p, x: model.apply(p, x.astype(dtype))
+            )
 
     def __call__(self, raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """raw (H, W) or (B, H, W) -> (prediction, denormalized padded input)."""
         single = raw.ndim == 2
         if single:
             raw = raw[None]
-        pred, inp = self._run(self.params, jnp.asarray(raw))
+        raw = jnp.asarray(raw, jnp.float32)
+        if self._run is None:  # quantized path: calibrate on this batch
+            from ..ops.int8_forward import make_int8_s2d_forward
+
+            calib = self._prep(raw)
+            fwd8 = make_int8_s2d_forward(
+                self.model, self._f32_params, calib, dtype=self._dtype
+            )
+            self._run = self._make_run(lambda p, x: fwd8(x))
+        pred, inp = self._run(self.params, raw)
         pred, inp = np.asarray(pred), np.asarray(inp)
         return (pred[0], inp[0]) if single else (pred, inp)
 

@@ -106,16 +106,22 @@ def make_s2d_sr_forward(model: GeneratorRRDB_SR, params, dtype=jnp.bfloat16):
     p = params["params"]
     tp = _transform_trunk(p["trunk"], model.num_res_blocks, dtype)
     upconv = _xform(p["upconv_0"], 1, dtype)
-    hrconv = _xform(p["HRconv"], 2, dtype)
-    conv_last = _xform(p["conv_last"], 2, dtype)
+    # Head at S2D^1, not S2D^2: each S2D application multiplies a conv's
+    # FLOPs by 4 (structural-zero padding), so HRconv/conv_last cost 16x
+    # nominal at S2D^2 but only 4x at S2D^1 — and 416^2 x 128ch still fills
+    # the MXU's 128 lanes. One free d2s reshape moves the upconv output
+    # (S2D^2-of-832^2 == S2D^1-of-416^2 of the pre-shuffle tensor, by the
+    # pixel_shuffle/s2d cancellation) into the S2D^1 domain.
+    hrconv = _xform(p["HRconv"], 1, dtype)
+    conv_last = _xform(p["conv_last"], 1, dtype)
 
     def forward(x: Array) -> Array:
         x4 = s2d(x.astype(dtype))
         fea = _trunk_forward(tp, x4)
         up = _lrelu(_conv(fea, *upconv), 0.01)  # == S2D2 of pixel-shuffled fea
-        h = _lrelu(_conv(up, *hrconv), 0.2)
+        h = _lrelu(_conv(d2s(up), *hrconv), 0.2)  # S2D^1: 416^2, 128ch
         out = _conv(h, *conv_last)
-        return jnp.clip(d2s(d2s(out)), 0.0, 1.0)
+        return jnp.clip(d2s(out), 0.0, 1.0)
 
     return forward
 
