@@ -239,7 +239,6 @@ def make_int8_s2d_forward(
                 x0 = t
                 # int8 features, quantized once per level-tensor
                 feats8 = [_quantize(x0, sb[bi][di][0][0])]
-                feats = [x0]
                 for level in range(5):
                     w8, c_o, b = qt["blocks"][bi][di][level]
                     x8 = (
@@ -250,7 +249,6 @@ def make_int8_s2d_forward(
                     ).astype(dtype)
                     if level < 4:
                         h = _lrelu(y, 0.2)
-                        feats.append(h)
                         feats8.append(
                             _quantize(h, sb[bi][di][level + 1][level + 1])
                         )
