@@ -217,22 +217,40 @@ class HAB(nn.Module):
 def unfold_overlap_windows(x: Array, ws: int, owin: int) -> Array:
     """torch nn.Unfold(kernel=owin, stride=ws, pad=(owin-ws)//2) equivalent.
 
-    x: (B, H, W, C) -> (B*nW, owin*owin, C), windows in row-major order.
-    Uses lax.conv_general_dilated_patches, whose channel-major patch ordering
-    matches torch unfold's (C, kh, kw) layout (hat.py:346-355)."""
+    x: (B, H, W, C) -> (B*nW, owin*owin, C), windows in row-major order
+    (matching torch unfold's (C, kh, kw) patch layout, hat.py:346-355).
+
+    Built from STATIC strided slices: split each spatial axis into panels of
+    g = gcd(ws, owin) rows, so window i covers panels (ws/g)*i + [0, owin/g)
+    and each panel offset is one strided slice. The obvious lowering via
+    `lax.conv_general_dilated_patches` costs 387 ms/op on the TPU backend at
+    HAT's production shape (416^2, 360ch) — 6 OCABs made it ~75% of HAT's
+    serve latency; this form is pure slice/reshape/transpose (~1 ms)."""
+    import math
+
     b, h, w, c = x.shape
     pad = (owin - ws) // 2
-    patches = jax.lax.conv_general_dilated_patches(
-        x,
-        (owin, owin),
-        (ws, ws),
-        [(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (b, nh, nw, c*owin*owin) with feature order (c, fh, fw)
     nh, nw = h // ws, w // ws
-    patches = patches.reshape(b, nh, nw, c, owin * owin)
-    patches = patches.transpose(0, 1, 2, 4, 3)
-    return patches.reshape(b * nh * nw, owin * owin, c)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+
+    g = math.gcd(ws, owin)
+    k = owin // g  # panels per window
+    s = ws // g  # panel stride between consecutive windows
+    assert hp % g == 0 and wp % g == 0
+
+    # rows: (b, hp/g, g, wp, c) -> (b, nh, owin, wp, c)
+    xr = xp.reshape(b, hp // g, g, wp, c)
+    rows = jnp.concatenate(
+        [xr[:, a : a + s * (nh - 1) + 1 : s] for a in range(k)], axis=2
+    )
+    # cols: (b, nh, owin, wp/g, g, c) -> (b, nh, owin, nw, owin, c)
+    xc = rows.reshape(b, nh, owin, wp // g, g, c)
+    cols = jnp.concatenate(
+        [xc[:, :, :, a : a + s * (nw - 1) + 1 : s] for a in range(k)], axis=4
+    )
+    out = cols.transpose(0, 1, 3, 2, 4, 5)  # (b, nh, nw, owin, owin, c)
+    return out.reshape(b * nh * nw, owin * owin, c)
 
 
 class OCAB(nn.Module):
