@@ -79,3 +79,36 @@ def test_int8_calib_headroom():
     params = model.init(jax.random.PRNGKey(0), calib[:1])
     psnr = quantization_psnr(model, params, x, calib=calib)
     assert psnr > 30.0, f"headroom PSNR too low: {psnr:.1f} dB"
+
+
+REAL = __import__("pathlib").Path("/root/reference/data/example_data/real/20ks")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REAL.exists(), reason="reference example data unavailable")
+def test_int8_fidelity_on_real_xmm_image():
+    """Golden check: w8a8 vs f32 predictions on a REAL 20 ks XMM split image
+    (production normalization) must stay above 40 dB PSNR."""
+    from xmm_superres_denoise_tpu.io.fits import read_image
+    from xmm_superres_denoise_tpu.ops.preprocess import pad_to_res
+    from xmm_superres_denoise_tpu.ops.stretch import Normalizer
+
+    fits = sorted(REAL.glob("*.fits"))[0]
+    img, hdr = read_image(fits)
+    rate = img.astype(np.float32)
+    expo = float(hdr.get("EXPOSURE", hdr.get("ONTIME", 0.0)))
+    if expo > 0:
+        rate = rate / expo
+
+    nz = Normalizer(lr_max=0.0022336, hr_max=0.0005584, mode="sqrt")
+    x = pad_to_res(jnp.asarray(rate)[None], 416)[..., None]
+    x = nz.normalize_lr(x)
+
+    # real-image activation distribution through the quantizer; reduced
+    # width/depth keeps the CPU forward tractable (the production config is
+    # timed on device via bench.py --pipeline int8)
+    model = GeneratorRRDB_SR(in_channels=1, out_channels=1, num_filters=16,
+                             num_res_blocks=2, num_upsample=1)
+    params = model.init(jax.random.PRNGKey(0), x)
+    psnr = quantization_psnr(model, params, x)
+    assert psnr > 40.0, f"int8 PSNR on real data too low: {psnr:.1f} dB"
