@@ -184,6 +184,11 @@ class ModelCfg(BaseModel):
     name: BaseModels
     memory_efficient: bool = False
     batch_size: PositiveInt = 1
+    # Train through the space-to-depth fast path (RRDB models only): every
+    # fwd/bwd conv runs on full 128-lane MXU tiles with the weight transform
+    # in-graph — exact same math/grads as the plain apply
+    # (ops/s2d_forward.make_s2d_train_apply).
+    s2d_train: bool = False
     model: Union[RrdbCfg, TransformerCfg, RestormerCfg] = Field(
         ..., discriminator="base_model"
     )

@@ -68,7 +68,18 @@ def _transform_trunk(trunk: dict, num_res_blocks: int, dtype) -> dict[str, Any]:
     return out
 
 
-def _trunk_forward(tp: dict[str, Any], x4: Array) -> Array:
+def _dense_block(rdb, x: Array) -> Array:
+    """One ResidualDenseBlock5C in S2D domain (gather form)."""
+    feats = [x]
+    for level, (w, b) in enumerate(rdb):
+        h = _conv(jnp.concatenate(feats, -1) if level else x, w, b)
+        if level < 4:
+            h = _lrelu(h, 0.2)
+            feats.append(h)
+    return h * 0.2 + x
+
+
+def _trunk_forward(tp: dict[str, Any], x4: Array, remat: bool = False) -> Array:
     """S2D-domain trunk: conv_first -> N x RRDB -> trunk_conv + skip.
 
     Dense blocks use the reference's gather form (growing-cin concat convs).
@@ -77,20 +88,18 @@ def _trunk_forward(tp: dict[str, Any], x4: Array) -> Array:
     (66-67 vs 70-73 tiles/s) despite isolated fat-cout convs running ~3x the
     TF/s (745 vs 250 at b32): the sliced partial-sum adds break XLA's
     conv-epilogue fusion. Keep gather; revisit only inside a fused kernel.
+
+    `remat=True` checkpoints each dense block (the concats' saved
+    activations dominate training HBM — the `memory_efficient` equivalent
+    of models/rrdb.py / reference rrdb_blocks.py:40-47).
     """
+    block = jax.checkpoint(_dense_block) if remat else _dense_block
     fea = _conv(x4, *tp["conv_first"])
     t = fea
     for rrdb in tp["blocks"]:
         block_in = t
         for rdb in rrdb:
-            x = t
-            feats = [x]
-            for level, (w, b) in enumerate(rdb):
-                h = _conv(jnp.concatenate(feats, -1) if level else x, w, b)
-                if level < 4:
-                    h = _lrelu(h, 0.2)
-                    feats.append(h)
-            t = h * 0.2 + x
+            t = block(rdb, t)
         t = t * 0.2 + block_in
     trunk = _conv(t, *tp["trunk_conv"])
     return fea + trunk
@@ -124,6 +133,62 @@ def make_s2d_sr_forward(model: GeneratorRRDB_SR, params, dtype=jnp.bfloat16):
         return jnp.clip(d2s(out), 0.0, 1.0)
 
     return forward
+
+
+def make_s2d_train_apply(model, remat: bool = False):
+    """Build an `apply(params, x)` == `model.apply(params, x)` that runs the
+    whole forward in the S2D domain with the weight transforms IN-GRAPH.
+
+    `ops.space_to_depth.s2d_conv_weights_jnp` is a fixed linear map, so
+    autodiff through this apply yields EXACT gradients w.r.t. the original
+    parameters — no custom VJP needed. This is the training fast path: the
+    backward pass's convs also run at full 128-lane MXU tiles. The
+    per-step transform cost is negligible (weights are ~KBs).
+
+    `remat=True` checkpoints each dense block (`memory_efficient`
+    semantics). Supports GeneratorRRDB_SR (num_upsample == 1) and
+    GeneratorRRDB_DN.
+    """
+    from .space_to_depth import s2d_conv_weights_jnp
+
+    is_sr = isinstance(model, GeneratorRRDB_SR)
+    if is_sr:
+        assert model.num_upsample == 1, "S2D apply built for num_upsample=1"
+    else:
+        assert isinstance(model, GeneratorRRDB_DN), type(model)
+    n_blocks = model.num_res_blocks
+
+    def xf(entry):
+        return s2d_conv_weights_jnp(entry["kernel"], entry["bias"])
+
+    def apply(params, x):
+        p = params["params"] if "params" in params else params
+        trunk = p["trunk"]
+        tp = {
+            "conv_first": xf(trunk["conv_first"]),
+            "trunk_conv": xf(trunk["trunk_conv"]),
+            "blocks": [
+                [
+                    [xf(trunk[f"rrdb_{i}"][f"RDB{d}"][f"conv{c}"])
+                     for c in range(1, 6)]
+                    for d in (1, 2, 3)
+                ]
+                for i in range(n_blocks)
+            ],
+        }
+        x4 = s2d(x)
+        fea = _trunk_forward(tp, x4, remat=remat)
+        if is_sr:
+            up = _lrelu(_conv(fea, *xf(p["upconv_0"])), 0.01)
+            h = _lrelu(_conv(d2s(up), *xf(p["HRconv"])), 0.2)
+            out = _conv(h, *xf(p["conv_last"]))
+        else:
+            out = _conv(fea, *xf(p["conv_last"])) + x4
+        # the models clip in-forward (models/rrdb.py:193,224 — reference
+        # generator_rrdb.py:108,135); reproduce it so grads match too
+        return jnp.clip(d2s(out), 0.0, 1.0)
+
+    return apply
 
 
 def make_s2d_dn_forward(model: GeneratorRRDB_DN, params, dtype=jnp.bfloat16):

@@ -71,3 +71,50 @@ def s2d_conv_weights(w: np.ndarray, b: np.ndarray | None = None):
     if b is not None:
         b2 = np.repeat(np.asarray(b), 4)  # b2[co*4 + p] = b[co]
     return w2, b2
+
+
+def _s2d_transform_tensor() -> np.ndarray:
+    """Constant 0/1 tensor M with
+    T(w)[a, b, ci*4 + r, co*4 + d] = sum_{ky,kx} M[a,b,r,d,ky,kx] w[ky,kx,ci,co]
+    — the einsum form of :func:`s2d_conv_weights`, usable under jit/grad."""
+    M = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for di in range(2):
+        for dj in range(2):
+            for ri in range(2):
+                for rj in range(2):
+                    for bi in (-1, 0, 1):
+                        ky = 2 * bi + ri - di
+                        if not -1 <= ky <= 1:
+                            continue
+                        for bj in (-1, 0, 1):
+                            kx = 2 * bj + rj - dj
+                            if not -1 <= kx <= 1:
+                                continue
+                            M[bi + 1, bj + 1, ri * 2 + rj, di * 2 + dj,
+                              ky + 1, kx + 1] = 1.0
+    return M
+
+
+_S2D_M = _s2d_transform_tensor()
+
+
+def s2d_conv_weights_jnp(w, b=None):
+    """Traceable (jit/grad-compatible) version of :func:`s2d_conv_weights`.
+
+    The transform is a fixed linear scatter, so expressing it as an einsum
+    against the constant pattern tensor makes it differentiable: autodiff
+    through it yields EXACT gradients w.r.t. the original (3,3,Cin,Cout)
+    weights — the basis of the S2D training fast path
+    (`ops/s2d_forward.make_s2d_train_apply`)."""
+    import jax.numpy as jnp
+
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3, "s2d transform implemented for 3x3 kernels"
+    M = jnp.asarray(_S2D_M, w.dtype)
+    # (3,3,cin,4,cout,4) -> (3,3,4cin,4cout) with ci*4+r / co*4+d flattening
+    t = jnp.einsum("abrdyx,yxio->abirod", M, w)
+    w2 = t.reshape(3, 3, 4 * cin, 4 * cout)
+    b2 = None
+    if b is not None:
+        b2 = jnp.repeat(b, 4)
+    return w2, b2

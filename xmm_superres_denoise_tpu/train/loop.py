@@ -97,7 +97,22 @@ class Trainer:
         ckpt_root = trainer_config.checkpoint_root or Path("checkpoints")
         self.ckpt = CheckpointManager(Path(ckpt_root) / model_config.name.value)
 
-        self._apply = lambda params, x: clamped_apply(self.model, params, x)
+        if getattr(model_config, "s2d_train", False):
+            from ..models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
+            from ..ops.s2d_forward import make_s2d_train_apply
+
+            if not isinstance(self.model, (GeneratorRRDB_SR, GeneratorRRDB_DN)):
+                raise ValueError(
+                    "s2d_train=true is supported for the RRDB models only "
+                    f"(got {type(self.model).__name__})"
+                )
+            # already clips in-apply (matching clamped_apply semantics);
+            # memory_efficient maps onto per-dense-block jax.checkpoint
+            self._apply = make_s2d_train_apply(
+                self.model, remat=model_config.memory_efficient
+            )
+        else:
+            self._apply = lambda params, x: clamped_apply(self.model, params, x)
         self._train_step = make_train_step(
             self._apply, self.loss_fn, self.tx, self.mesh
         )
