@@ -32,10 +32,14 @@ import time
 
 BASELINE_TILES_PER_SEC = 500.0
 CHAIN = 10
+# Persistent compilation cache: remote AOT compiles cost minutes cold but
+# ~1 s warm across processes (measured 229 s -> 0.8 s). Subprocess
+# candidates inherit this env var; repeated bench runs skip compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
 # The remote tunnel's compile latency varies wildly (60s..10min); give the
 # reliable first config a generous budget, later ones a tighter one, and
 # keep the experimental Pallas fused path opt-in.
-PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "600"))
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "900"))
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # (pipeline, batch) candidates, most-reliable first. "s2d" runs the whole
 # forward in the space-to-depth domain (ops/s2d_forward.py — every conv on

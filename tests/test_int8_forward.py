@@ -112,3 +112,41 @@ def test_int8_fidelity_on_real_xmm_image():
     params = model.init(jax.random.PRNGKey(0), x)
     psnr = quantization_psnr(model, params, x)
     assert psnr > 40.0, f"int8 PSNR on real data too low: {psnr:.1f} dB"
+
+
+def test_int8_scales_persist_roundtrip(tmp_path):
+    """calibrate_int8_scales -> JSON -> make_int8_s2d_forward(scales=...)
+    reproduces the lazily-calibrated forward exactly (ROADMAP: serving
+    processes skip first-batch calibration)."""
+    import json
+
+    from xmm_superres_denoise_tpu.ops.int8_forward import (
+        calibrate_int8_scales,
+    )
+
+    model = GeneratorRRDB_DN(in_channels=1, out_channels=1, num_filters=8,
+                             num_res_blocks=1)
+    g = np.random.default_rng(5)
+    x = jnp.asarray(g.uniform(0, 1, size=(2, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+
+    scales = calibrate_int8_scales(model, params, x)
+    path = tmp_path / "int8_scales.json"
+    path.write_text(json.dumps(scales))
+    loaded = json.loads(path.read_text())
+
+    f_calib = make_int8_s2d_forward(model, params, calib=x,
+                                    dtype=jnp.float32)
+    f_loaded = make_int8_s2d_forward(model, params, scales=loaded,
+                                     dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(f_calib)(x)), np.asarray(jax.jit(f_loaded)(x))
+    )
+
+
+def test_int8_forward_requires_calib_or_scales():
+    model = GeneratorRRDB_DN(in_channels=1, out_channels=1, num_filters=8,
+                             num_res_blocks=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    with pytest.raises(ValueError, match="calibration"):
+        make_int8_s2d_forward(model, params)

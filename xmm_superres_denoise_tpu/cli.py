@@ -20,8 +20,14 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import tomllib
 from pathlib import Path
+
+# Persistent XLA compilation cache: production-size compiles cost minutes
+# through the remote AOT service but ~1 s once cached (docs/PERFORMANCE.md).
+# Must be set before jax initializes (all jax imports below are lazy).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
 
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 
@@ -141,9 +147,13 @@ def cmd_infer(args) -> int:
 
     mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    scales = None
+    scales_path = getattr(args, "int8_scales", None)
+    if args.int8 and scales_path and Path(scales_path).exists():
+        scales = json.loads(Path(scales_path).read_text())
     engine = InferenceEngine(
         m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
-        crop_p=args.crop_p, quantize=args.int8,
+        crop_p=args.crop_p, quantize=args.int8, int8_scales=scales,
     )
     p_in, p_pred = infer_file(
         Path(args.fits), engine, Path(args.out),
@@ -151,6 +161,8 @@ def cmd_infer(args) -> int:
         model_name=m_cfg.name.value,
         plot=args.plot,
     )
+    if args.int8 and scales_path and scales is None and engine.int8_scales:
+        Path(scales_path).write_text(json.dumps(engine.int8_scales))
     print(json.dumps({"input": str(p_in), "prediction": str(p_pred)}))
     return 0
 
@@ -281,7 +293,11 @@ def main(argv=None) -> int:
                    help="bf16 serving mode (f32 is the parity mode)")
     p.add_argument("--int8", action="store_true",
                    help="w8a8 quantized serving (RRDB models; MXU int8 "
-                        "mode, ~1.6x bf16; scales calibrated on the input)")
+                        "mode, ~1.8x bf16 batched; scales calibrated on "
+                        "the input)")
+    p.add_argument("--int8_scales", type=Path, default=None,
+                   help="calibrated-scales JSON: loaded if it exists, "
+                        "written after first-batch calibration otherwise")
     p.add_argument("--crop_p", type=float, default=1.0,
                    help="crop fraction applied after padding, origin per the "
                         "dataset crop_mode (1.0 = no crop, reference default)")

@@ -47,16 +47,21 @@ class InferenceEngine:
         dtype=jnp.float32,
         crop_p: float = 1.0,
         quantize: bool = False,
+        int8_scales: Optional[dict] = None,
     ):
         """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
         normalization/denormalization stay f32 for product fidelity) — the
         serving configuration. f32 (default) is the parity configuration.
 
         `quantize=True` serves the RRDB models through the statically
-        calibrated w8a8 space-to-depth path (`ops/int8_forward.py`, ~1.6x
-        bf16 on the v5e MXU's int8 mode). Activation scales are calibrated
-        lazily from the FIRST batch passed to the engine; fidelity is a
-        measured quantity (`ops.int8_forward.quantization_psnr`).
+        calibrated w8a8 space-to-depth path (`ops/int8_forward.py`, ~1.8x
+        bf16 batched on the v5e MXU's int8 mode). Activation scales are
+        calibrated lazily from the FIRST batch passed to the engine — or
+        supplied via `int8_scales` (a `calibrate_int8_scales` dict, e.g.
+        loaded from a JSON saved next to the checkpoint) to skip
+        calibration. After first use the scales are available as
+        `self.int8_scales` for persistence. Fidelity is a measured quantity
+        (`ops.int8_forward.quantization_psnr`).
 
         `crop_p` < 1 crops the padded input to that fraction before
         normalization, origin per `dataset_config.crop_mode` — the reference
@@ -75,6 +80,7 @@ class InferenceEngine:
             model_config, (self.lr_res, self.lr_res), (self.hr_res, self.hr_res)
         )
         self._quantize = bool(quantize)
+        self.int8_scales = int8_scales
         self._f32_params = params  # pre-cast copy for weight quantization
         if quantize:
             from ..models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
@@ -148,11 +154,18 @@ class InferenceEngine:
             raw = raw[None]
         raw = jnp.asarray(raw, jnp.float32)
         if self._run is None:  # quantized path: calibrate on this batch
-            from ..ops.int8_forward import make_int8_s2d_forward
+            from ..ops.int8_forward import (
+                calibrate_int8_scales,
+                make_int8_s2d_forward,
+            )
 
-            calib = self._prep(raw)
+            if self.int8_scales is None:
+                self.int8_scales = calibrate_int8_scales(
+                    self.model, self._f32_params, self._prep(raw)
+                )
             fwd8 = make_int8_s2d_forward(
-                self.model, self._f32_params, calib, dtype=self._dtype
+                self.model, self._f32_params, dtype=self._dtype,
+                scales=self.int8_scales,
             )
             self._run = self._make_run(lambda p, x: fwd8(x))
         pred, inp = self._run(self.params, raw)

@@ -135,17 +135,32 @@ def _conv_i8(x8: Array, w8: Array) -> Array:
 # forward builder
 # --------------------------------------------------------------------------
 
+def calibrate_int8_scales(model, params, calib: Array) -> dict[str, float]:
+    """Run the f32 S2D trunk on a calibration batch and return the per-tensor
+    activation scales (max-abs with 8% headroom) as a JSON-serializable dict
+    — the persistable deployment artifact (save next to the checkpoint so
+    serving processes skip first-batch calibration)."""
+    p = params["params"] if "params" in params else params
+    tp32 = _transform_trunk(p["trunk"], model.num_res_blocks, jnp.float32)
+    x4c = s2d(jnp.asarray(calib, jnp.float32))
+    amax = _calibrate_trunk(tp32, x4c)
+    # headroom: real inputs can exceed the calibration batch's range a bit
+    return {k: max(v * 1.08, 1e-6) for k, v in amax.items()}
+
+
 def make_int8_s2d_forward(
     model,
     params,
-    calib: Array,
+    calib: Array | None = None,
     dtype=jnp.bfloat16,
+    scales: dict[str, float] | None = None,
 ):
     """Build a statically-calibrated w8a8 S2D forward.
 
     model: GeneratorRRDB_SR (num_upsample == 1) or GeneratorRRDB_DN.
     calib: (B, H, W, C) representative input batch (normalized domain) used
-    once, host-side, to bake activation scales.
+    once, host-side, to bake activation scales — or pass precomputed
+    `scales` (from :func:`calibrate_int8_scales`) to skip the pass.
     Returns forward(x) -> clip(model-equivalent output, 0, 1); the trunk's
     60 convs and the head run int8 on the MXU, epilogues in `dtype`.
     """
@@ -158,11 +173,11 @@ def make_int8_s2d_forward(
     p = params["params"] if "params" in params else params
     tp32 = _transform_trunk(p["trunk"], model.num_res_blocks, jnp.float32)
 
-    # ---- calibration pass (f32, host-blocking, once) ---- #
-    x4c = s2d(jnp.asarray(calib, jnp.float32))
-    amax = _calibrate_trunk(tp32, x4c)
-    # headroom: real inputs can exceed the calibration batch's range a bit
-    amax = {k: max(v * 1.08, 1e-6) for k, v in amax.items()}
+    if scales is None:
+        if calib is None:
+            raise ValueError("need either a calibration batch or scales")
+        scales = calibrate_int8_scales(model, params, calib)
+    amax = scales
 
     gsz = model.num_filters * 4  # S2D group width (128 in production)
 
