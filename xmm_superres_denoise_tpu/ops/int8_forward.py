@@ -57,9 +57,10 @@ def _lrelu(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
-def _calibrate_trunk(tp: dict[str, Any], x4: Array) -> dict[str, float]:
+def _calibrate_trunk(tp: dict[str, Any], x4: Array):
     """Mirror of s2d_forward._trunk_forward that records max|t| of every
-    conv INPUT tensor (what gets quantized). Keys name the consuming conv."""
+    conv INPUT tensor (what gets quantized). Keys name the consuming conv.
+    Returns (amax, trunk_output)."""
     amax: dict[str, float] = {}
 
     def rec(key, t):
@@ -83,8 +84,8 @@ def _calibrate_trunk(tp: dict[str, Any], x4: Array) -> dict[str, float]:
             t = h * 0.2 + x
         t = t * 0.2 + block_in
     trunk = _conv_f32(rec("trunk_conv", t), *tp["trunk_conv"])
-    rec("__trunk_out__", fea + trunk)
-    return amax
+    out = rec("__trunk_out__", fea + trunk)
+    return amax, out
 
 
 # --------------------------------------------------------------------------
@@ -136,14 +137,22 @@ def _conv_i8(x8: Array, w8: Array) -> Array:
 # --------------------------------------------------------------------------
 
 def calibrate_int8_scales(model, params, calib: Array) -> dict[str, float]:
-    """Run the f32 S2D trunk on a calibration batch and return the per-tensor
-    activation scales (max-abs with 8% headroom) as a JSON-serializable dict
-    — the persistable deployment artifact (save next to the checkpoint so
-    serving processes skip first-batch calibration)."""
+    """Run the f32 S2D trunk (and, for SR, the head) on a calibration batch
+    and return the per-tensor activation scales (max-abs with 8% headroom)
+    as a JSON-serializable dict — the persistable deployment artifact (save
+    next to the checkpoint so serving processes skip first-batch
+    calibration)."""
     p = params["params"] if "params" in params else params
     tp32 = _transform_trunk(p["trunk"], model.num_res_blocks, jnp.float32)
     x4c = s2d(jnp.asarray(calib, jnp.float32))
-    amax = _calibrate_trunk(tp32, x4c)
+    amax, fea = _calibrate_trunk(tp32, x4c)
+    if isinstance(model, GeneratorRRDB_SR):
+        # head inputs: upconv consumes the trunk output ("__trunk_out__");
+        # HRconv consumes d2s(lrelu(upconv(.))) — max-abs is permutation-
+        # invariant so the d2s is immaterial to the scale
+        upconv = _xform(p["upconv_0"], 1, jnp.float32)
+        up = _lrelu(_conv_f32(fea, *upconv), 0.01)
+        amax["__hrconv_in__"] = float(jnp.max(jnp.abs(up)))
     # headroom: real inputs can exceed the calibration batch's range a bit
     return {k: max(v * 1.08, 1e-6) for k, v in amax.items()}
 
@@ -218,12 +227,32 @@ def make_int8_s2d_forward(
         qt["blocks"].append(qblock)
         scales_blocks.append(sblock)
 
-    # ---- head (bf16/f32 epilogue domain; ~10% of FLOPs). HRconv/conv_last
-    # at S2D^1 (4x nominal FLOPs) instead of S2D^2 (16x) — see
-    # s2d_forward.make_s2d_sr_forward. ---- #
+    # ---- head. HRconv/conv_last at S2D^1 (4x nominal FLOPs) instead of
+    # S2D^2 (16x) — see s2d_forward.make_s2d_sr_forward. The two expensive
+    # head convs (upconv, HRconv) also run int8 when the scales dict carries
+    # the head key (older persisted dicts fall back to the `dtype` path);
+    # conv_last stays high-precision — it is tiny and writes the final
+    # science product. ---- #
+    quant_head = is_sr and "__hrconv_in__" in amax
     if is_sr:
-        upconv = _xform(p["upconv_0"], 1, dtype)
-        hrconv = _xform(p["HRconv"], 1, dtype)
+        if quant_head:
+            w_up = np.asarray(_xform(p["upconv_0"], 1, jnp.float32)[0])
+            up8, up_c = _quant_weights_grouped(
+                w_up, [amax["__trunk_out__"]], w_up.shape[2]
+            )
+            upconv = (up8, up_c, jnp.asarray(
+                np.asarray(_xform(p["upconv_0"], 1, jnp.float32)[1]),
+                jnp.float32))
+            w_hr = np.asarray(_xform(p["HRconv"], 1, jnp.float32)[0])
+            hr8, hr_c = _quant_weights_grouped(
+                w_hr, [amax["__hrconv_in__"]], w_hr.shape[2]
+            )
+            hrconv = (hr8, hr_c, jnp.asarray(
+                np.asarray(_xform(p["HRconv"], 1, jnp.float32)[1]),
+                jnp.float32))
+        else:
+            upconv = _xform(p["upconv_0"], 1, dtype)
+            hrconv = _xform(p["HRconv"], 1, dtype)
         conv_last = _xform(p["conv_last"], 1, dtype)
     else:
         conv_last = _xform(p["conv_last"], 1, dtype)
@@ -279,8 +308,23 @@ def make_int8_s2d_forward(
         fea = fea + trunk
 
         if is_sr:
-            up = _lrelu(_conv_d(fea, *upconv), 0.01)
-            h = _lrelu(_conv_d(d2s(up), *hrconv), 0.2)
+            if quant_head:
+                w8, c_o, b = upconv
+                up = _lrelu(
+                    (_conv_i8(_quantize(fea, amax["__trunk_out__"]), w8)
+                     .astype(jnp.float32) * c_o + b).astype(dtype),
+                    0.01,
+                )
+                w8, c_o, b = hrconv
+                h = _lrelu(
+                    (_conv_i8(
+                        _quantize(d2s(up), amax["__hrconv_in__"]), w8
+                    ).astype(jnp.float32) * c_o + b).astype(dtype),
+                    0.2,
+                )
+            else:
+                up = _lrelu(_conv_d(fea, *upconv), 0.01)
+                h = _lrelu(_conv_d(d2s(up), *hrconv), 0.2)
             out = _conv_d(h, *conv_last)
             return jnp.clip(d2s(out), 0.0, 1.0)
         out = _conv_d(fea, *conv_last) + x4
