@@ -51,18 +51,31 @@ CANDIDATES = [("xla", 8), ("s2d", 8), ("int8", 8), ("int8", 32), ("s2d", 32)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:
-    """Executed in the child process: prints one float (tiles/s)."""
+    """Executed in the child process: prints one float (tiles/s).
+
+    `dn-*` pipelines measure the DeNoise flagship (416->416,
+    XMM-DeNoise production geometry) — informational, not part of the
+    driver metric (the SR path is)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
 
-    from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
-
-    model = GeneratorRRDB_SR(
-        in_channels=1, out_channels=1, num_filters=32, num_res_blocks=4,
-        num_upsample=1,
+    from xmm_superres_denoise_tpu.models import (
+        GeneratorRRDB_DN,
+        GeneratorRRDB_SR,
     )
+
+    if pipeline.startswith("dn-"):
+        model = GeneratorRRDB_DN(
+            in_channels=1, out_channels=1, num_filters=32, num_res_blocks=4,
+        )
+        pipeline = pipeline[3:]
+    else:
+        model = GeneratorRRDB_SR(
+            in_channels=1, out_channels=1, num_filters=32, num_res_blocks=4,
+            num_upsample=1,
+        )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 1)))
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 1)), jnp.bfloat16
@@ -85,9 +98,17 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
             model, params, calib, dtype=jnp.bfloat16
         )
     elif pipeline == "s2d":
-        from xmm_superres_denoise_tpu.ops.s2d_forward import make_s2d_sr_forward
+        from xmm_superres_denoise_tpu.ops.s2d_forward import (
+            make_s2d_dn_forward,
+            make_s2d_sr_forward,
+        )
 
-        forward = make_s2d_sr_forward(model, params, dtype=jnp.bfloat16)
+        maker = (
+            make_s2d_dn_forward
+            if isinstance(model, GeneratorRRDB_DN)
+            else make_s2d_sr_forward
+        )
+        forward = maker(model, params, dtype=jnp.bfloat16)
     else:
         bf16_params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16), params
