@@ -48,6 +48,7 @@ class InferenceEngine:
         crop_p: float = 1.0,
         quantize: bool = False,
         int8_scales: Optional[dict] = None,
+        mesh=None,
     ):
         """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
         normalization/denormalization stay f32 for product fidelity) — the
@@ -67,7 +68,12 @@ class InferenceEngine:
         normalization, origin per `dataset_config.crop_mode` — the reference
         applies `Crop(crop_p=1.0, mode=crop_mode)` at this exact point
         (run_inference_on_file.py:144-152), so 1.0 (identity) is the
-        production default."""
+        production default.
+
+        `mesh`: a `jax.sharding.Mesh` with a `data` axis — batches are
+        placed with `NamedSharding(mesh, P("data"))` so serving scales
+        linearly over chips (batch size should be a multiple of the axis
+        size; docs/SERVING.md)."""
         cfg = dataset_config
         self.lr_res = cfg.lr.res
         self.hr_res = cfg.hr.res if cfg.hr else cfg.lr.res
@@ -140,6 +146,7 @@ class InferenceEngine:
         self._prep = jax.jit(_prep)
         self._make_run = _make_run
         self._dtype = dtype
+        self._mesh = mesh
         if quantize:
             self._run = None  # built lazily: first batch calibrates scales
         else:
@@ -168,9 +175,34 @@ class InferenceEngine:
                 scales=self.int8_scales,
             )
             self._run = self._make_run(lambda p, x: fwd8(x))
+        if self._mesh is not None and raw.shape[0] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            raw = jax.device_put(raw, NamedSharding(self._mesh, P("data")))
         pred, inp = self._run(self.params, raw)
         pred, inp = np.asarray(pred), np.asarray(inp)
         return (pred[0], inp[0]) if single else (pred, inp)
+
+    def predict_tiles(
+        self, raw: np.ndarray, batch_size: int = 32
+    ) -> np.ndarray:
+        """Chunked batched serving: (N, H, W) -> (N, H', W') predictions.
+
+        Splits a large stack into `batch_size` chunks (the measured
+        throughput sweet spot, docs/SERVING.md), padding the tail chunk by
+        repeating its last tile so every device program has the same shape
+        (ONE compilation) and trimming afterwards."""
+        n = raw.shape[0]
+        outs = []
+        for i in range(0, n, batch_size):
+            chunk = raw[i : i + batch_size]
+            k = chunk.shape[0]
+            if k < batch_size:  # pad to the compiled shape, trim after
+                pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            pred, _ = self(chunk)
+            outs.append(pred[:k])
+        return np.concatenate(outs, axis=0)
 
 
 def infer_file(
