@@ -151,3 +151,47 @@ def test_s2d_train_apply_remat_parity():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_accelerator_knob_verified(tmp_path):
+    """Legacy `accelerator` is honored observably: a mismatch with the real
+    JAX backend raises instead of silently proceeding (round-1 dead-knob
+    class). Tests run on the CPU backend, so accelerator='tpu' must fail
+    and accelerator='cpu' must pass."""
+    from xmm_superres_denoise_tpu.config.schema import (
+        DatasetCfg,
+        HrDatasetCfg,
+        LossCfg,
+        LrDatasetCfg,
+        ModelCfg,
+        OptimizerCfg,
+        RrdbCfg,
+        TrainerCfg,
+    )
+    from xmm_superres_denoise_tpu.data.datamodule import XmmDataModule
+    from xmm_superres_denoise_tpu.train.loop import Trainer
+    from xmm_superres_denoise_tpu.train.loss import create_loss
+
+    ds = DatasetCfg(
+        directory=tmp_path, scaling="sqrt", type="boring", batch_size=2,
+        debug=True, name="boring_acc",
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=32),
+        hr=HrDatasetCfg(exp=50, clamp_max=0.0022336, res=32),
+    )
+    mc = ModelCfg(
+        name="rrdb_denoise", memory_efficient=False, batch_size=2,
+        model=RrdbCfg(base_model="rrdb_denoise", filters=4,
+                      residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    dm = XmmDataModule(ds, splits_root=tmp_path / "splits", boring_size=8)
+    loss = create_loss(None, LossCfg(l1=1.0))
+
+    tc_bad = TrainerCfg(epochs=1, checkpoint_root=tmp_path / "c1",
+                        accelerator="tpu")
+    with pytest.raises(RuntimeError, match="accelerator"):
+        Trainer(mc, tc_bad, dm, loss)
+
+    tc_ok = TrainerCfg(epochs=1, checkpoint_root=tmp_path / "c2",
+                       accelerator="cpu")
+    Trainer(mc, tc_ok, dm, loss)  # matches the test backend: no raise

@@ -75,6 +75,21 @@ class Trainer:
         self.hr_shape = (hr_res, hr_res)
         self.scale = self.hr_shape[0] // self.lr_shape[0]
 
+        # Honor the legacy `accelerator` knob observably (the reference's
+        # Lightning accelerator switch, train.py:148-155): platform choice
+        # must happen before backend init, so a mid-process config can only
+        # VERIFY it — mismatches fail loudly instead of silently training on
+        # the wrong platform.
+        acc = getattr(trainer_config, "accelerator", "auto")
+        if acc != "auto":
+            backend = jax.default_backend()
+            if (acc == "cpu") != (backend == "cpu"):
+                raise RuntimeError(
+                    f"trainer.accelerator={acc!r} but the JAX backend is "
+                    f"{backend!r}. Select the platform before startup (e.g. "
+                    "JAX_PLATFORMS=cpu) — it cannot be switched mid-process."
+                )
+
         self.mesh = mesh if mesh is not None else make_mesh(
             data=trainer_config.mesh.data, fsdp=trainer_config.mesh.fsdp
         )
