@@ -125,3 +125,23 @@ def test_annotate_contextmanager():
     with annotate("unit-test-region"):
         x = jnp.ones((4,)) + 1
     assert float(x.sum()) == 8.0
+
+
+def test_write_xmm_product_sim_centered_wcs(tmp_path):
+    """Sim-centered product WCS: boresight CRPIX and 4\"/res_mult CDELT
+    (reference filehandling.py:84-104 constants)."""
+    from xmm_superres_denoise_tpu.io.fits import read_image
+    from xmm_superres_denoise_tpu.io.wcs import write_xmm_product
+
+    img1 = np.random.default_rng(0).uniform(0, 1, (416, 416)).astype(np.float32)
+    p1 = write_xmm_product(img1, tmp_path, "sim_1x", 1, 20_000.0)
+    _, h1 = read_image(p1)
+    assert h1["CRPIX1"] == 244.0 and h1["CRPIX2"] == 224.0
+    np.testing.assert_allclose(h1["CDELT1"], -0.00111111113801599, rtol=1e-12)
+    assert h1["EXPOSURE"] == 20_000.0
+
+    img2 = np.random.default_rng(1).uniform(0, 1, (832, 832)).astype(np.float32)
+    p2 = write_xmm_product(img2, tmp_path, "sim_2x", 2, 100_000.0)
+    _, h2 = read_image(p2)
+    assert h2["CRPIX1"] == 487.5 and h2["CRPIX2"] == 447.5
+    np.testing.assert_allclose(h2["CDELT2"], 0.00111111113801599 / 2, rtol=1e-12)
