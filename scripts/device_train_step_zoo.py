@@ -39,6 +39,24 @@ def build(name: str):
         from xmm_superres_denoise_tpu.models.restormer import Restormer
 
         return Restormer(inp_channels=1, out_channels=1, dim=24)
+    if name == "drct":
+        from xmm_superres_denoise_tpu.models.drct import DRCT
+
+        return DRCT(
+            img_size=416, patch_size=1, in_chans=1, embed_dim=180,
+            depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
+            mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle", gc=32,
+            use_checkpoint=True,
+        )
+    if name == "hat":
+        from xmm_superres_denoise_tpu.models.hat import HAT
+
+        return HAT(
+            img_size=416, patch_size=1, in_chans=1, embed_dim=180,
+            depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
+            mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle",
+            use_checkpoint=True,
+        )
     raise SystemExit(f"unknown model {name}")
 
 
