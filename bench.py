@@ -41,13 +41,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
 # keep the experimental Pallas fused path opt-in.
 PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "900"))
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
-# (pipeline, batch) candidates, most-reliable first. "s2d" runs the whole
-# forward in the space-to-depth domain (ops/s2d_forward.py — every conv on
-# full 128-wide MXU lanes at 208^2). "int8" is the statically-calibrated
-# w8a8 S2D path (ops/int8_forward.py — the v5e MXU's 394 TOPS mode; the
-# bf16 S2D path is compute-bound at ~93% of the 197 TF/s peak, so int8 is
-# the remaining serving lever, docs/PERFORMANCE.md).
-CANDIDATES = [("xla", 8), ("s2d", 8), ("int8", 8), ("int8", 32), ("s2d", 32)]
+# (pipeline, batch) candidates, KNOWN-BEST FIRST so a harness-level global
+# timeout can only cut the slower confirmations, never the winner. "s2d"
+# runs the whole forward in the space-to-depth domain (ops/s2d_forward.py —
+# every conv on full 128-wide MXU lanes at 208^2). "int8" is the
+# statically-calibrated w8a8 S2D path (ops/int8_forward.py — the v5e MXU's
+# 394 TOPS mode; the bf16 S2D path is compute-bound at ~93% of the 197 TF/s
+# peak, so int8 is the remaining serving lever, docs/PERFORMANCE.md).
+# Measured: int8-b32 142.8 / int8-b8 122 / s2d-b32 75 / s2d-b8 72 / xla 34.
+CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("s2d", 8), ("xla", 8)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:
