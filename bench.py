@@ -36,10 +36,10 @@ CHAIN = 10
 # ~1 s warm across processes (measured 229 s -> 0.8 s). Subprocess
 # candidates inherit this env var; repeated bench runs skip compiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
-# The remote tunnel's compile latency varies wildly (60s..10min); give the
-# reliable first config a generous budget, later ones a tighter one, and
-# keep the experimental Pallas fused path opt-in.
-PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "900"))
+# The remote compile latency varies wildly (observed 10-16 min for the
+# int8-b32 winner across runs); size the per-candidate budget above the
+# worst observation so the winner is never dropped at the budget edge.
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "1500"))
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # (pipeline, batch) candidates, KNOWN-BEST FIRST so a harness-level global
 # timeout can only cut the slower confirmations, never the winner. "s2d"
@@ -203,29 +203,34 @@ def _run_zoo_model(name: str, batch: int = 1) -> None:
 def main() -> None:
     results = {}
     candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
-    for pipeline, batch in candidates:
+    for idx, (pipeline, batch) in enumerate(candidates):
         key = f"{pipeline}-b{batch}"
-        try:
-            proc = subprocess.run(
-                [
-                    sys.executable, os.path.abspath(__file__),
-                    "--pipeline", pipeline, str(batch),
-                ],
-                capture_output=True,
-                timeout=PIPELINE_BUDGET_S,
-            )
-            if proc.returncode == 0:
-                results[key] = float(proc.stdout.strip().splitlines()[-1])
-            else:
+        # the lead candidate is the known winner: one retry on transient
+        # failure (tunnel hiccups observed) so it is never silently dropped
+        attempts = 2 if idx == 0 else 1
+        for attempt in range(attempts):
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__),
+                        "--pipeline", pipeline, str(batch),
+                    ],
+                    capture_output=True,
+                    timeout=PIPELINE_BUDGET_S,
+                )
+                if proc.returncode == 0:
+                    results[key] = float(proc.stdout.strip().splitlines()[-1])
+                    break
                 print(
-                    f"bench: {key} failed: "
+                    f"bench: {key} failed (attempt {attempt + 1}): "
                     f"{proc.stderr.decode(errors='replace')[-300:]}",
                     file=sys.stderr,
                 )
-        except subprocess.TimeoutExpired:
-            print(f"bench: {key} exceeded {PIPELINE_BUDGET_S}s", file=sys.stderr)
-        except Exception as e:
-            print(f"bench: {key} error: {e}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"bench: {key} exceeded {PIPELINE_BUDGET_S}s",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"bench: {key} error: {e}", file=sys.stderr)
 
     if not results:
         # Last resort: a short inline measurement so the driver always gets
