@@ -26,20 +26,32 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 BASELINE_TILES_PER_SEC = 500.0
 CHAIN = 10
-# Persistent compilation cache: remote AOT compiles cost minutes cold but
-# ~1 s warm across processes (measured 229 s -> 0.8 s). Subprocess
-# candidates inherit this env var; repeated bench runs skip compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
-# The remote compile latency varies wildly (observed 10-16 min for the
-# int8-b32 winner across runs); size the per-candidate budget above the
-# worst observation so the winner is never dropped at the budget edge.
-PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "1500"))
+# Persistent compilation cache IN THE REPO (survives /tmp wipes and the
+# builder->driver boundary; .gitignore'd). Measured on the axon TPU: the
+# int8-b32 winner compiles 11m10s cold -> 1m36s warm across processes.
+# The builder pre-warms this cache, so a driver bench run is all-warm.
+_REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jit_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE)
+# Per-candidate budget: warm candidates run ~1.5-2 min; cold worst
+# observation for the winner is ~11-16 min. The GLOBAL deadline below is
+# what guarantees driver delivery; the per-candidate budget just bounds a
+# single hung compile.
+PIPELINE_BUDGET_S = int(os.environ.get("XMMSR_BENCH_BUDGET_S", "900"))
+# Global wall-clock deadline (round-2 postmortem: the driver killed the
+# bench at an unknown window >25 min and recorded rc=124/no output).
+# Candidates launch only while time remains; a SIGTERM/SIGINT or the
+# deadline itself still emits the best-so-far JSON line.
+DEADLINE_S = float(os.environ.get("XMMSR_BENCH_DEADLINE_S", "1200"))
+# Reserve kept back from the deadline for result emission/teardown.
+_RESERVE_S = 20.0
 TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # (pipeline, batch) candidates, KNOWN-BEST FIRST so a harness-level global
 # timeout can only cut the slower confirmations, never the winner. "s2d"
@@ -58,6 +70,14 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
     `dn-*` pipelines measure the DeNoise flagship (416->416,
     XMM-DeNoise production geometry) — informational, not part of the
     driver metric (the SR path is)."""
+    if os.environ.get("XMMSR_BENCH_FAKE"):
+        # Test hook (tests/test_bench_contract.py): deterministic fake
+        # result; every candidate after the lead one stalls so the kill
+        # path (SIGTERM -> best-so-far JSON) is exercisable end-to-end.
+        if (pipeline, batch) != CANDIDATES[0]:
+            time.sleep(float(os.environ.get("XMMSR_BENCH_FAKE_SLEEP_S", "0")))
+        print(float(os.environ["XMMSR_BENCH_FAKE"]))
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -200,8 +220,70 @@ def _run_zoo_model(name: str, batch: int = 1) -> None:
     )
 
 
-def main() -> None:
-    results = {}
+# ---------------------------------------------------------------------- #
+# Driver-delivery machinery (round-2 postmortem, VERDICT.md "weak" #1):
+# the bench must print its ONE JSON line even when the enclosing process
+# is killed. Best-so-far results live in module globals; a SIGTERM/SIGINT
+# handler and atexit both emit them, and a global wall-clock deadline
+# stops launching candidates long before any plausible kill window.
+
+_results: dict = {}
+_emitted = False
+_child = None
+
+
+def _emit_result() -> None:
+    """Print the best-so-far JSON line exactly once."""
+    global _emitted
+    if _emitted or not _results:
+        return
+    _emitted = True
+    pipeline, tiles_per_sec = max(_results.items(), key=lambda kv: kv[1])
+    print(f"bench: {_results} -> using {pipeline}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "sr_416to832_tiles_per_sec",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/s",
+                "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _handle_term(signum, frame) -> None:
+    try:
+        if _child is not None and _child.poll() is None:
+            _child.kill()
+    except Exception:
+        pass
+    _emit_result()
+    os._exit(0 if _emitted else 1)
+
+
+def _run_candidate(pipeline: str, batch: int, budget: float):
+    """Run one candidate subprocess; returns (rc, stdout, stderr)."""
+    global _child
+    _child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--pipeline", pipeline, str(batch)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    try:
+        out, err = _child.communicate(timeout=budget)
+        return _child.returncode, out, err
+    except subprocess.TimeoutExpired:
+        _child.kill()
+        _child.communicate()
+        raise
+    finally:
+        _child = None
+
+
+def _launch_candidates(deadline: float) -> None:
     candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
     for idx, (pipeline, batch) in enumerate(candidates):
         key = f"{pipeline}-b{batch}"
@@ -209,30 +291,44 @@ def main() -> None:
         # failure (tunnel hiccups observed) so it is never silently dropped
         attempts = 2 if idx == 0 else 1
         for attempt in range(attempts):
-            try:
-                proc = subprocess.run(
-                    [
-                        sys.executable, os.path.abspath(__file__),
-                        "--pipeline", pipeline, str(batch),
-                    ],
-                    capture_output=True,
-                    timeout=PIPELINE_BUDGET_S,
+            remaining = deadline - time.monotonic() - _RESERVE_S
+            # With a result in hand, only launch confirmations that have a
+            # realistic (warm-cache) window; with none, spend what's left.
+            if remaining < (90.0 if _results else 30.0):
+                print(
+                    f"bench: global deadline ({DEADLINE_S:.0f}s) reached "
+                    f"before {key}; stopping with {len(_results)} result(s)",
+                    file=sys.stderr,
                 )
-                if proc.returncode == 0:
-                    results[key] = float(proc.stdout.strip().splitlines()[-1])
+                return
+            budget = min(PIPELINE_BUDGET_S, remaining)
+            try:
+                rc, out, err = _run_candidate(pipeline, batch, budget)
+                if rc == 0:
+                    _results[key] = float(out.strip().splitlines()[-1])
                     break
                 print(
                     f"bench: {key} failed (attempt {attempt + 1}): "
-                    f"{proc.stderr.decode(errors='replace')[-300:]}",
+                    f"{err.decode(errors='replace')[-300:]}",
                     file=sys.stderr,
                 )
             except subprocess.TimeoutExpired:
-                print(f"bench: {key} exceeded {PIPELINE_BUDGET_S}s",
-                      file=sys.stderr)
+                print(f"bench: {key} exceeded {budget:.0f}s", file=sys.stderr)
             except Exception as e:
                 print(f"bench: {key} error: {e}", file=sys.stderr)
 
-    if not results:
+
+def main() -> None:
+    import atexit
+
+    deadline = time.monotonic() + DEADLINE_S
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _handle_term)
+    atexit.register(_emit_result)
+
+    _launch_candidates(deadline)
+
+    if not _results:
         # Last resort: a short inline measurement so the driver always gets
         # a JSON line (single warm forward, one readback).
         try:
@@ -253,22 +349,11 @@ def main() -> None:
             float(fwd(x))
             t0 = time.perf_counter()
             float(fwd(x))
-            results["inline"] = 4 / (time.perf_counter() - t0)
+            _results["inline"] = 4 / (time.perf_counter() - t0)
         except Exception as e:
             raise SystemExit(f"no benchmark path succeeded: {e}")
 
-    pipeline, tiles_per_sec = max(results.items(), key=lambda kv: kv[1])
-    print(f"bench: {results} -> using {pipeline}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "sr_416to832_tiles_per_sec",
-                "value": round(tiles_per_sec, 2),
-                "unit": "tiles/s",
-                "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 3),
-            }
-        )
-    )
+    _emit_result()
 
 
 if __name__ == "__main__":

@@ -303,3 +303,62 @@ def test_engine_mesh_and_predict_tiles():
     assert tiled.shape[0] == 11
     direct, _ = plain(raw11[8:])  # spot-check the tail samples
     np.testing.assert_allclose(tiled[8:], direct, rtol=1e-6, atol=1e-7)
+
+
+def test_engine_mesh_non_divisible_batch():
+    """A batch NOT divisible by the mesh data-axis size is padded inside the
+    engine (repeating the last tile) and trimmed on return — any batch
+    serves on any mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.parallel import make_mesh
+
+    lr_res = 32
+    ds = DatasetCfg(
+        directory=Path("."),
+        lr=LrDatasetCfg(bkg=0, exps=[20], clamp_max=0.0022336, res=lr_res),
+        hr=HrDatasetCfg(exp=50, clamp_max=0.0022336, res=lr_res),
+        scaling="sqrt",
+        type="boring",
+    )
+    mc = ModelCfg(
+        name="rrdb_denoise", memory_efficient=False, batch_size=1,
+        model=RrdbCfg(base_model="rrdb_denoise", filters=4, residual_blocks=1),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    model = build_model(mc, (lr_res, lr_res), (lr_res, lr_res))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, lr_res, lr_res, 1)))
+
+    plain = InferenceEngine(mc, ds, params)
+    sharded = InferenceEngine(mc, ds, params, mesh=make_mesh(data=8))
+    g = np.random.default_rng(7)
+    raw = g.uniform(0, 0.001, (5, lr_res, lr_res)).astype(np.float32)
+    p0, i0 = plain(raw)
+    p1, i1 = sharded(raw)
+    assert p1.shape[0] == 5 and i1.shape[0] == 5
+    np.testing.assert_allclose(p1, p0, rtol=1e-6, atol=1e-7)
+
+    # predict_tiles on the sharded engine: chunk 4 is padded to 8 internally
+    tiled = sharded.predict_tiles(raw, batch_size=4)
+    np.testing.assert_allclose(tiled, p0, rtol=1e-6, atol=1e-7)
+
+
+def test_int8_scales_fingerprint_binding(tmp_path):
+    """params_fingerprint distinguishes checkpoints (value-sensitive) and is
+    stable for identical trees — the binding used by cli --int8_scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.utils.fingerprint import params_fingerprint
+
+    model_params = {"params": {"conv": {"kernel": np.ones((3, 3, 1, 4), np.float32),
+                                        "bias": np.zeros((4,), np.float32)}}}
+    fp1 = params_fingerprint(model_params)
+    fp2 = params_fingerprint(jax.tree_util.tree_map(np.copy, model_params))
+    assert fp1 == fp2
+    other = jax.tree_util.tree_map(lambda a: a + 1e-3, model_params)
+    assert params_fingerprint(other) != fp1

@@ -119,3 +119,72 @@ def test_extended_metrics_eval_path(trainer):
         assert f"test/linear/{m}" in logs, m
         assert np.isfinite(logs[f"test/linear/{m}"]), m
         assert f"test/linear/in/{m}" in logs, m
+
+
+def test_padded_train_step_matches_unpadded(trainer):
+    """Padded rows (weight=0, duplicated last sample) must contribute nothing
+    to the update: one step on a B=5 batch padded to 8 over the 8-device mesh
+    equals the same step on the raw B=5 batch over a 1-device mesh."""
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.parallel.mesh import (
+        make_mesh,
+        pad_batch_to_devices,
+        replicate,
+    )
+    from xmm_superres_denoise_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(0)
+    b = 5
+    lr = rng.uniform(0, 1, (b, 32, 32, 1)).astype(np.float32)
+    hr = rng.uniform(0, 1, (b, 64, 64, 1)).astype(np.float32)
+
+    mesh8 = trainer.mesh
+    mesh1 = make_mesh(data=1, fsdp=1)
+
+    padded, valid = pad_batch_to_devices({"lr": lr, "hr": hr}, 8)
+    batch8 = {**padded, "weight": (np.arange(8) < valid).astype(np.float32)}
+    batch1 = {"lr": lr, "hr": hr, "weight": np.ones(b, np.float32)}
+
+    # SGD makes the update linear in the gradient, so param equality below
+    # is gradient equality (Adam's first step is ~sign(g), which amplifies
+    # float noise where g ~ 0).
+    import optax
+
+    from xmm_superres_denoise_tpu.train.steps import TrainState
+
+    tx = optax.sgd(0.1)
+    host_params = jax.device_get(trainer.init_state(seed=3).params)
+    host_state = TrainState.create(host_params, tx)
+    outs = []
+    for mesh, batch in ((mesh8, batch8), (mesh1, batch1)):
+        step = make_train_step(
+            trainer._apply, trainer.loss_fn, tx, mesh, donate=False
+        )
+        st = replicate(mesh, host_state)
+        st2, loss = step(st, {k: jnp.asarray(v) for k, v in batch.items()})
+        outs.append((jax.device_get(st2.params), float(loss)))
+    (p_pad, l_pad), (p_raw, l_raw) = outs
+    assert np.isclose(l_pad, l_raw, rtol=1e-5)
+    for a, e in zip(
+        jax.tree_util.tree_leaves(p_pad), jax.tree_util.tree_leaves(p_raw)
+    ):
+        np.testing.assert_allclose(a, e, rtol=1e-4, atol=1e-6)
+
+
+def test_emergency_checkpoint_on_exception(trainer, monkeypatch):
+    """Any exception escaping the fit loop saves a restorable emergency
+    snapshot of the live mid-epoch state (SURVEY.md §5.3)."""
+    monkeypatch.setattr(
+        trainer,
+        "_run_eval",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected mid-fit failure")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        trainer.fit(seed=0)
+    template = jax.device_get(trainer.init_state(seed=0))
+    restored = trainer.ckpt.restore_emergency(template)
+    # the snapshot reflects the live trained state, not init: step advanced
+    assert int(restored.step) > 0

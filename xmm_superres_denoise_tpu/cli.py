@@ -27,7 +27,12 @@ from pathlib import Path
 # Persistent XLA compilation cache: production-size compiles cost minutes
 # through the remote AOT service but ~1 s once cached (docs/PERFORMANCE.md).
 # Must be set before jax initializes (all jax imports below are lazy).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmmsr_jit_cache")
+# Default is the REPO-LOCAL cache (survives /tmp wipes, shared with
+# bench.py, not cross-user like a fixed /tmp path); env var overrides.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parents[1] / ".jit_cache"),
+)
 
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 
@@ -150,7 +155,28 @@ def cmd_infer(args) -> int:
     scales = None
     scales_path = getattr(args, "int8_scales", None)
     if args.int8 and scales_path and Path(scales_path).exists():
-        scales = json.loads(Path(scales_path).read_text())
+        from .utils.fingerprint import params_fingerprint
+
+        obj = json.loads(Path(scales_path).read_text())
+        if isinstance(obj, dict) and "scales" in obj:
+            fp = params_fingerprint(params)
+            if obj.get("fingerprint") == fp:
+                scales = obj["scales"]
+            else:
+                log.warning(
+                    "int8 scales %s were calibrated for a DIFFERENT "
+                    "checkpoint (fingerprint mismatch) — ignoring them and "
+                    "recalibrating from the first batch.",
+                    scales_path,
+                )
+        else:  # legacy un-fingerprinted flat dict
+            log.warning(
+                "int8 scales %s carry no checkpoint fingerprint (legacy "
+                "format); using as-is. Re-save to bind them to this "
+                "checkpoint.",
+                scales_path,
+            )
+            scales = obj
     engine = InferenceEngine(
         m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
         crop_p=args.crop_p, quantize=args.int8, int8_scales=scales,
@@ -162,7 +188,12 @@ def cmd_infer(args) -> int:
         plot=args.plot,
     )
     if args.int8 and scales_path and scales is None and engine.int8_scales:
-        Path(scales_path).write_text(json.dumps(engine.int8_scales))
+        from .utils.fingerprint import params_fingerprint
+
+        Path(scales_path).write_text(json.dumps({
+            "fingerprint": params_fingerprint(params),
+            "scales": engine.int8_scales,
+        }))
     print(json.dumps({"input": str(p_in), "prediction": str(p_pred)}))
     return 0
 

@@ -143,16 +143,69 @@ class InferenceEngine:
 
             return _run
 
+        def _make_run_pred(apply_fn):
+            # Predictions-only variant for the chunked throughput path:
+            # skips computing + device->host transferring the denormalized
+            # input that predict_tiles discards.
+            @jax.jit
+            def _runp(params, raw):
+                x = _prep(raw)
+                pred = apply_fn(params, x).astype(jnp.float32)
+                return nz.denormalize_hr(jnp.clip(pred, 0.0, 1.0))[..., 0]
+
+            return _runp
+
         self._prep = jax.jit(_prep)
         self._make_run = _make_run
+        self._make_run_pred = _make_run_pred
         self._dtype = dtype
         self._mesh = mesh
         if quantize:
-            self._run = None  # built lazily: first batch calibrates scales
+            # built lazily: first batch calibrates scales
+            self._run = None
+            self._run_pred = None
         else:
-            self._run = _make_run(
-                lambda p, x: model.apply(p, x.astype(dtype))
+            apply_fn = lambda p, x: model.apply(p, x.astype(dtype))
+            self._run = _make_run(apply_fn)
+            self._run_pred = _make_run_pred(apply_fn)
+
+    def _ensure_built(self, raw: jnp.ndarray) -> None:
+        """Quantized path: calibrate activation scales from this batch (or
+        the supplied scales) and build the jitted runners once."""
+        if self._run is not None:
+            return
+        from ..ops.int8_forward import (
+            calibrate_int8_scales,
+            make_int8_s2d_forward,
+        )
+
+        if self.int8_scales is None:
+            self.int8_scales = calibrate_int8_scales(
+                self.model, self._f32_params, self._prep(raw)
             )
+        fwd8 = make_int8_s2d_forward(
+            self.model, self._f32_params, dtype=self._dtype,
+            scales=self.int8_scales,
+        )
+        self._run = self._make_run(lambda p, x: fwd8(x))
+        self._run_pred = self._make_run_pred(lambda p, x: fwd8(x))
+
+    def _place(self, raw: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        """Mesh placement with divisibility padding: pads B to a multiple of
+        the data-axis size (repeating the last tile) so any batch serves on
+        any mesh; callers trim outputs back to the returned valid count."""
+        b = raw.shape[0]
+        if self._mesh is None or b == 1:
+            return raw, b
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = int(self._mesh.shape["data"])
+        pad = (-b) % axis
+        if pad:
+            raw = jnp.concatenate(
+                [raw, jnp.repeat(raw[-1:], pad, axis=0)], axis=0
+            )
+        return jax.device_put(raw, NamedSharding(self._mesh, P("data"))), b
 
     def __call__(self, raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """raw (H, W) or (B, H, W) -> (prediction, denormalized padded input)."""
@@ -160,27 +213,10 @@ class InferenceEngine:
         if single:
             raw = raw[None]
         raw = jnp.asarray(raw, jnp.float32)
-        if self._run is None:  # quantized path: calibrate on this batch
-            from ..ops.int8_forward import (
-                calibrate_int8_scales,
-                make_int8_s2d_forward,
-            )
-
-            if self.int8_scales is None:
-                self.int8_scales = calibrate_int8_scales(
-                    self.model, self._f32_params, self._prep(raw)
-                )
-            fwd8 = make_int8_s2d_forward(
-                self.model, self._f32_params, dtype=self._dtype,
-                scales=self.int8_scales,
-            )
-            self._run = self._make_run(lambda p, x: fwd8(x))
-        if self._mesh is not None and raw.shape[0] > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            raw = jax.device_put(raw, NamedSharding(self._mesh, P("data")))
+        self._ensure_built(raw)
+        raw, valid = self._place(raw)
         pred, inp = self._run(self.params, raw)
-        pred, inp = np.asarray(pred), np.asarray(inp)
+        pred, inp = np.asarray(pred)[:valid], np.asarray(inp)[:valid]
         return (pred[0], inp[0]) if single else (pred, inp)
 
     def predict_tiles(
@@ -191,7 +227,9 @@ class InferenceEngine:
         Splits a large stack into `batch_size` chunks (the measured
         throughput sweet spot, docs/SERVING.md), padding the tail chunk by
         repeating its last tile so every device program has the same shape
-        (ONE compilation) and trimming afterwards."""
+        (ONE compilation) and trimming afterwards. Runs the
+        predictions-only jit: the denormalized input `__call__` also
+        returns is never computed or transferred here."""
         n = raw.shape[0]
         outs = []
         for i in range(0, n, batch_size):
@@ -200,7 +238,10 @@ class InferenceEngine:
             if k < batch_size:  # pad to the compiled shape, trim after
                 pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            pred, _ = self(chunk)
+            chunk = jnp.asarray(chunk, jnp.float32)
+            self._ensure_built(chunk)
+            chunk, _ = self._place(chunk)
+            pred = np.asarray(self._run_pred(self.params, chunk))
             outs.append(pred[:k])
         return np.concatenate(outs, axis=0)
 

@@ -68,6 +68,27 @@ class CheckpointManager:
             raise FileNotFoundError(f"No best checkpoint under {self.root}")
         return self.restore(state_template, step)
 
+    def save_emergency(self, state: Any) -> Path:
+        """One-off crash snapshot, written on ANY exception escaping the fit
+        loop (SURVEY.md §5.3 failure handling) — separate from the stepped
+        manager so it never perturbs best/latest bookkeeping."""
+        import shutil
+
+        path = self.root / "emergency"
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_emergency(self, state_template: Any) -> Any:
+        path = self.root / "emergency"
+        if not path.exists():
+            raise FileNotFoundError(f"No emergency checkpoint under {self.root}")
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, state_template)
+
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 

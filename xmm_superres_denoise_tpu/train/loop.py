@@ -5,7 +5,7 @@ Replaces the Lightning Trainer + Model wrapper
 `models/model.py:48-151`) with an explicit loop:
 
   epoch:
-    train: jitted shard_map step per batch (grads pmean'd over `data`)
+    train: jitted shard_map step per batch (weighted-mean grads over `data`)
     val:   jitted eval step accumulating loss + XMMMetricCollection state
            on-device (psum-reduced), computed/logged at epoch end
     ckpt:  orbax save, best tracked on val/loss (min)
@@ -83,7 +83,16 @@ class Trainer:
         acc = getattr(trainer_config, "accelerator", "auto")
         if acc != "auto":
             backend = jax.default_backend()
-            if (acc == "cpu") != (backend == "cpu"):
+            # Exact-match against the active backend (the legacy 'gpu' knob
+            # maps onto any non-TPU accelerator backend; 'tpu' also accepts
+            # the axon-tunneled TPU plugin): a 'gpu' config on a TPU backend
+            # must fail loudly, not just the cpu/non-cpu split.
+            accepted = {
+                "cpu": {"cpu"},
+                "gpu": {"gpu", "cuda", "rocm"},
+                "tpu": {"tpu", "axon"},
+            }.get(acc, {acc})
+            if backend not in accepted:
                 raise RuntimeError(
                     f"trainer.accelerator={acc!r} but the JAX backend is "
                     f"{backend!r}. Select the platform before startup (e.g. "
@@ -237,18 +246,29 @@ class Trainer:
         result = FitResult(best_val_loss=float("inf"), best_step=-1)
         input_metrics_pending = True
 
+        self._live_state = state
         try:
             return self._fit_epochs(
                 state, start_epoch, epochs, result, input_metrics_pending
             )
-        except KeyboardInterrupt:
-            # Failure handling (SURVEY.md §5.3): every epoch is checkpointed,
-            # so an interrupt loses at most the current epoch — surface how
-            # to resume rather than dying silently.
+        except BaseException as e:
+            # Failure handling (SURVEY.md §5.3): every epoch is checkpointed
+            # already; on ANY escaping exception (crash, OOM, interrupt) also
+            # snapshot the mid-epoch live state so at most one *batch* of
+            # progress is lost, then surface how to resume.
             done = start_epoch + len(result.history)
+            epath = None
+            try:
+                if self._live_state is not None:
+                    epath = self.ckpt.save_emergency(
+                        jax.device_get(self._live_state)
+                    )
+            except Exception:
+                log.exception("emergency checkpoint failed")
             log.warning(
-                "Interrupted at epoch %d — resume with checkpoint_path set "
-                "(latest saved step: %s)", done, self.ckpt.latest_step(),
+                "%s at epoch %d — emergency state saved to %s; resume with "
+                "checkpoint_path set (latest stepped save: %s)",
+                type(e).__name__, done, epath, self.ckpt.latest_step(),
             )
             raise
 
@@ -259,6 +279,7 @@ class Trainer:
             train_losses = []
             for batch in self.dm.loader("train", mesh=self.mesh, epoch=epoch):
                 state, loss = self._train_step(state, batch)
+                self._live_state = state  # crash-snapshot source (fit())
                 train_losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(train_losses))) if train_losses else float("nan")
 

@@ -6,8 +6,9 @@ training_step/validation_step + DDP/FSDP machinery
 `train.py:141-155`):
 
   * Train step: `shard_map` over the `data` mesh axis — each shard computes
-    loss+grads on its local batch slice, grads/loss are `lax.pmean`-reduced
-    over ICI (the XLA-collective equivalent of NCCL all-reduce), and the
+    the weighted per-sample loss on its local batch slice; the cross-shard
+    gradient sum rides the psum autodiff inserts for the replicated params
+    (over ICI — the XLA-collective equivalent of NCCL all-reduce), and the
     optax update runs identically on every device, keeping params replicated.
   * Optional FSDP axis: parameters sharded over `fsdp` via NamedSharding
     out-shardings; XLA's SPMD partitioner inserts the all-gathers and
@@ -60,18 +61,40 @@ def make_train_step(
     """Build the jitted data-parallel train step.
 
     apply_fn(params, lr_batch) -> preds (already clamped by the model).
-    Per-shard loss is the loss over the local slice; grads are pmean'd so the
-    update equals Lightning-DDP's mean-of-shard-gradients semantics.
+    The update is the weighted mean of per-sample gradients over all real
+    (weight>0) samples — Lightning-DDP's mean-of-gradients semantics, made
+    invariant to the loader's divisibility padding.
     """
 
-    def _shard_step(state: TrainState, lr: Array, hr: Array) -> Tuple[TrainState, Array]:
+    def _shard_step(
+        state: TrainState, lr: Array, hr: Array, w: Array
+    ) -> Tuple[TrainState, Array]:
+        # Weighted per-sample loss (sum w_i * loss_i / psum sum w) so padded
+        # rows (weight=0 duplicates from pad_batch_to_devices) contribute
+        # exactly nothing to the gradient — the train step is invariant to
+        # B % n_devices, mirroring the eval path below.
+        #
+        # Collective subtlety (empirically pinned by
+        # tests/test_train_loop.py::test_padded_train_step_matches_unpadded):
+        # under shard_map, differentiating a shard-varying loss w.r.t. the
+        # REPLICATED (P()) params makes autodiff insert the cross-shard psum
+        # itself — `grads` below is already the global sum of w_i * dl_i.
+        # Adding an explicit psum double-counts by the axis size (and the
+        # round-2 pmean pattern was an identity, leaving grads scaled by
+        # n_devices). The only reduction needed is the global weight-sum
+        # divide.
+        wsum = lax.psum(jnp.sum(w), DATA_AXIS)
+
         def loss_of(p):
             preds = apply_fn(p, lr)
-            return loss_fn(preds, hr)
+            per_sample = jax.vmap(lambda pr, t: loss_fn(pr[None], t[None]))(
+                preds, hr
+            )
+            return jnp.sum(per_sample * w)
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
-        grads = lax.pmean(grads, DATA_AXIS)
-        loss = lax.pmean(loss, DATA_AXIS)
+        lsum, grads = jax.value_and_grad(loss_of)(state.params)
+        grads = jax.tree_util.tree_map(lambda g: g / wsum, grads)
+        loss = lax.psum(lsum, DATA_AXIS) / wsum
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), loss
@@ -79,13 +102,16 @@ def make_train_step(
     sharded = shard_map(
         _shard_step,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
     )
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Array]:
-        return sharded(state, batch["lr"], batch["hr"])
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
+        return sharded(state, batch["lr"], batch["hr"], w)
 
     return train_step
 
@@ -175,9 +201,16 @@ def make_fsdp_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Array]:
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
+
         def loss_of(p):
             preds = apply_fn(p, batch["lr"])
-            return loss_fn(preds, batch["hr"])
+            per_sample = jax.vmap(lambda pr, t: loss_fn(pr[None], t[None]))(
+                preds, batch["hr"]
+            )
+            return jnp.sum(per_sample * w) / jnp.sum(w)
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
