@@ -117,7 +117,7 @@ def test_eval_loss_invariant_to_padding():
     mesh = make_mesh(data=8)
     loss_fn = create_loss(None, LossCfg(l1=0.5, psnr=0.25, ssim=0.25))
 
-    def apply(lr):
+    def apply(params, lr):
         return jnp.clip(lr * 0.9 + 0.01, 0.0, 1.0)
 
     step = make_eval_step(apply, loss_fn, mesh)
@@ -137,12 +137,12 @@ def test_eval_loss_invariant_to_padding():
             "weight": jnp.asarray(w),
         },
     )
-    _, loss_sum, n = step({}, batch)
+    _, loss_sum, n = step({}, {}, batch)
     got = float(loss_sum) / float(n)
 
     expected = np.mean(
         [
-            float(loss_fn(apply(jnp.asarray(lr5[i : i + 1])),
+            float(loss_fn(apply({}, jnp.asarray(lr5[i : i + 1])),
                           jnp.asarray(hr5[i : i + 1])))
             for i in range(5)
         ]

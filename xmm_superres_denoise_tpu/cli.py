@@ -292,6 +292,29 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """One-command real-weights parity gate (BASELINE.md fidelity rows):
+    ONNX import -> pixel-wise <= tol vs an independent ONNX runtime on the
+    example data -> PSNR/SSIM parity table -> int8 recalibration gate.
+    Exit code 0 iff every gate passes (infer/verify.py)."""
+    from .infer.verify import default_example_files, verify_onnx
+
+    ds_cfg, m_cfg, _, _, _ = load_run_config(args.run_config)
+    if args.data is not None:
+        files = sorted(Path(args.data).glob("*.fits*"))
+    else:
+        files = default_example_files(limit=args.limit)
+    if not files:
+        print(json.dumps({"error": "no input FITS files found"}))
+        return 2
+    report = verify_onnx(
+        Path(args.onnx), ds_cfg, m_cfg, files,
+        tol=args.tol, int8=not args.no_int8,
+    )
+    print(json.dumps(report, indent=2))
+    return 0 if report["passed"] else 1
+
+
 def cmd_detxy(args) -> int:
     from .infer.end2end import detxy_for_obsid
 
@@ -357,6 +380,24 @@ def main(argv=None) -> int:
     p.add_argument("--int8", action="store_true",
                    help="w8a8 quantized serving (RRDB models)")
     p.set_defaults(func=cmd_end2end)
+
+    p = sub.add_parser(
+        "verify",
+        help="real-weights parity gate: ONNX vs JAX on example data "
+             "(pixel <= tol, PSNR/SSIM table, int8 fidelity)",
+    )
+    p.add_argument("--onnx", type=Path, required=True,
+                   help="ONNX checkpoint (e.g. XMM-SuperRes.onnx)")
+    p.add_argument("--run_config", type=Path, required=True)
+    p.add_argument("--data", type=Path, default=None,
+                   help="FITS directory (default: example real 20ks set)")
+    p.add_argument("--tol", type=float, default=1e-3,
+                   help="pixel-wise gate tolerance (BASELINE.md: 1e-3)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap the number of files")
+    p.add_argument("--no_int8", action="store_true",
+                   help="skip the int8 recalibration fidelity gate")
+    p.set_defaults(func=cmd_verify)
 
     p = sub.add_parser("detxy", help="event list -> detxy image (native or SAS)")
     p.add_argument("--pps", type=Path, required=True)

@@ -21,7 +21,6 @@ import numpy as np
 
 from ..io.fits import write_image
 from ..io.wcs import detxy_wcs_header
-from ..ops.events import detxy_image_from_event_file
 from ..sas.pipeline import check_pps_dir, sas_available
 from .run_file import InferenceEngine, infer_file
 
@@ -34,8 +33,17 @@ def detxy_for_obsid(
     instrument: str = "pn",
     max_expo_ks: float = 20.0,
     use_sas: bool = False,
+    sky_image: bool = True,
 ) -> Path:
-    """PPS dir -> detxy image FITS (get_detxy_for_obs_id semantics)."""
+    """PPS dir -> detxy image FITS (get_detxy_for_obs_id semantics).
+
+    The native path also emits the sky-coordinate (RA/DEC-binned) companion
+    image when the event list carries X/Y columns — the reference's
+    `radec_image=True` second evselect call (xmmsas_tools.py:552-565) —
+    and recovers absolute pointing from the ATTTSR attitude product when
+    the event header lacks RA_PNT/DEC_PNT/PA_PNT, so every product carries
+    absolute sky WCS SAS-free.
+    """
     proc_dir = Path(proc_dir)
     proc_dir.mkdir(parents=True, exist_ok=True)
     pps = check_pps_dir(Path(pps_dir))
@@ -54,9 +62,26 @@ def detxy_for_obsid(
     # Native path: GTI + filter + bin in one pass.
     evl = _pick(pps["evl_files"], instrument)
     fbk = _pick(pps["fbk_files"], instrument) if pps["fbk_files"] else None
-    img, meta, hdr = detxy_image_from_event_file(
-        evl, fbk, max_expo_ks=max_expo_ks, instrument=instrument
+    from ..ops.events import products_from_event_file
+
+    prods = products_from_event_file(
+        evl, fbk, max_expo_ks=max_expo_ks, instrument=instrument,
+        sky=sky_image,
     )
+    img, meta = prods["detxy"]
+    hdr = prods["header"]
+    if not all(k in hdr for k in ("RA_PNT", "DEC_PNT", "PA_PNT")):
+        # Derive the pointing from the attitude timeseries (AVRG_PNT=MEDIAN
+        # semantics) so native ecoordconv can still fill the sky WCS.
+        att_files = pps.get("att_files") or []
+        if att_files:
+            from ..io.atthk import ensure_pointing
+
+            try:
+                for k, v in ensure_pointing(hdr, att_files[0]).items():
+                    hdr[k] = v
+            except Exception as e:  # pointing stays absent; header-only WCS
+                log.warning("attitude-derived pointing failed: %s", e)
     suffix = f"{max_expo_ks:.0f}ks" if max_expo_ks > 0 else "full"
     out = proc_dir / f"{instrument}_500_2000_detxy_image_{suffix}.fits"
     out_hdr = detxy_wcs_header(meta, hdr)
@@ -65,6 +90,13 @@ def detxy_for_obsid(
         "Native detxy image: %s (%.1f ks exposure, %d counts)",
         out, meta.get("exposure", 0) / 1000.0, int(img.sum()),
     )
+    if "sky" in prods:
+        from ..ops.events import sky_wcs_header
+
+        sky, smeta = prods["sky"]
+        sky_out = proc_dir / f"{instrument}_500_2000_radec_image_{suffix}.fits"
+        write_image(sky_out, sky.astype(np.int32), sky_wcs_header(smeta, hdr))
+        log.info("Native sky (radec) image: %s", sky_out)
     return out
 
 

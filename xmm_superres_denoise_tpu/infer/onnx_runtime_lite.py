@@ -174,8 +174,11 @@ def run_graph(
                 np.asarray(ins[0]), int(a["blocksize"]), a.get("mode", "DCR")
             )
         elif node.op_type == "Clip":
-            lo = float(ins[1]) if len(ins) > 1 else float(a.get("min", -np.inf))
-            hi = float(ins[2]) if len(ins) > 2 else float(a.get("max", np.inf))
+            def _scalar(v):
+                return float(np.asarray(v).reshape(-1)[0])
+
+            lo = _scalar(ins[1]) if len(ins) > 1 else float(a.get("min", -np.inf))
+            hi = _scalar(ins[2]) if len(ins) > 2 else float(a.get("max", np.inf))
             out = np.clip(ins[0], lo, hi).astype(np.float32)
         else:
             raise NotImplementedError(

@@ -129,19 +129,150 @@ def write_xmm_product_wcs(
     return write_image(Path(output_dir) / f"{name}.fits.gz", np.asarray(img), header)
 
 
+# ------------------------------------------------------------------------- #
+# Native ecoordconv: DET(0,0) -> sky without SAS
+# ------------------------------------------------------------------------- #
+
+# Fixed offset of the EPN DET(0,0) origin from the telescope optical axis
+# (the instrument-misalignment constant SAS reads from the CCF), expressed
+# in the DETECTOR frame in arcsec. Derived empirically in this repo from
+# the example real observations (data/example_data/real/full): the source
+# centroid of each point-like target was matched against its catalog
+# RA_OBJ/DEC_OBJ under the reference's rotation convention
+# (CROTA2 = 90 - PA_PNT, CD recipe of xmmsas_tools.py:589-618); the three
+# point-source observations (0085110101, 0400620101, 0781350101 — position
+# angles 262/69/216 deg) agree on this constant to <= 1.7 arcsec, which
+# simultaneously validates the rotation convention (a wrong parity could
+# not be PA-invariant). See tests/test_native_ecoordconv.py.
+EPN_DET0_OFFSET_ARCSEC = (52.106, -75.435)
+
+_DET_UNIT_DEG = 0.05 / 3600.0  # CAMCOORD2 unit = 0.05 arcsec
+
+
+def det_to_sky(
+    detx: float,
+    dety: float,
+    ra_pnt: float,
+    dec_pnt: float,
+    pa_pnt: float,
+    offset_arcsec: tuple = EPN_DET0_OFFSET_ARCSEC,
+) -> tuple:
+    """Detector coordinates -> (ra, dec) deg, the `ecoordconv coordtype=det`
+    conversion done natively: rotate the detector-frame position (plus the
+    fixed DET-origin offset) by 90-PA into tangent-plane offsets from the
+    pointing axis, then gnomonic-unproject around (RA_PNT, DEC_PNT)."""
+    rho = math.radians(90.0 - pa_pnt)
+    c, s = math.cos(rho), math.sin(rho)
+    dx = detx * _DET_UNIT_DEG + offset_arcsec[0] / 3600.0
+    dy = dety * _DET_UNIT_DEG + offset_arcsec[1] / 3600.0
+    xi = math.radians(c * dx - s * dy)  # toward +RA (east)
+    eta = math.radians(s * dx + c * dy)  # toward +DEC (north)
+    ra0, dec0 = math.radians(ra_pnt), math.radians(dec_pnt)
+    # inverse gnomonic (TAN) projection
+    rho_t = math.hypot(xi, eta)
+    if rho_t == 0.0:
+        return ra_pnt, dec_pnt
+    cdist = math.atan(rho_t)
+    sin_c, cos_c = math.sin(cdist), math.cos(cdist)
+    dec = math.asin(cos_c * math.sin(dec0) + eta * sin_c * math.cos(dec0) / rho_t)
+    ra = ra0 + math.atan2(
+        xi * sin_c,
+        rho_t * math.cos(dec0) * cos_c - eta * math.sin(dec0) * sin_c,
+    )
+    return math.degrees(ra) % 360.0, math.degrees(dec)
+
+
+def sky_to_det(
+    ra: float,
+    dec: float,
+    ra_pnt: float,
+    dec_pnt: float,
+    pa_pnt: float,
+    offset_arcsec: tuple = EPN_DET0_OFFSET_ARCSEC,
+) -> tuple:
+    """Inverse of `det_to_sky`: (ra, dec) deg -> (detx, dety) DET units."""
+    ra0, dec0 = math.radians(ra_pnt), math.radians(dec_pnt)
+    ra_r, dec_r = math.radians(ra), math.radians(dec)
+    cos_c = math.sin(dec0) * math.sin(dec_r) + math.cos(dec0) * math.cos(
+        dec_r
+    ) * math.cos(ra_r - ra0)
+    xi = math.cos(dec_r) * math.sin(ra_r - ra0) / cos_c
+    eta = (
+        math.cos(dec0) * math.sin(dec_r)
+        - math.sin(dec0) * math.cos(dec_r) * math.cos(ra_r - ra0)
+    ) / cos_c
+    xi, eta = math.degrees(xi), math.degrees(eta)
+    rho = math.radians(90.0 - pa_pnt)
+    c, s = math.cos(rho), math.sin(rho)
+    dx = c * xi + s * eta
+    dy = -s * xi + c * eta
+    detx = (dx - offset_arcsec[0] / 3600.0) / _DET_UNIT_DEG
+    dety = (dy - offset_arcsec[1] / 3600.0) / _DET_UNIT_DEG
+    return detx, dety
+
+
+def native_ecoordconv(meta: Dict[str, Any], in_header: Header) -> Optional[Dict[str, float]]:
+    """Compute the ecoordconv reference pixel {xima, yima, ra, dec} for a
+    natively binned detxy image — SAS-free (xmmsas_tools.py:578-588).
+
+    `meta` is the `bin_events` metadata (bin_size/x0/y0 — the binning grid),
+    `in_header` the event-list header carrying the pointing (RA_PNT/DEC_PNT/
+    PA_PNT, the AHF-median attitude SAS itself uses via AVRG_PNT=MEDIAN).
+    Returns None when the pointing keywords are absent (caller may derive
+    them from the ATTTSR product via `io.atthk.pointing_from_atthk`).
+
+    The DET-origin offset constant is calibrated for EPN; other instruments
+    fall back to zero offset (pointing axis) with a log warning.
+    """
+    for k in ("RA_PNT", "DEC_PNT", "PA_PNT"):
+        if k not in in_header:
+            return None
+    inst = str(in_header.get("INSTRUME", "EPN")).strip().upper()
+    offset = EPN_DET0_OFFSET_ARCSEC
+    if inst != "EPN":
+        import logging
+
+        logging.getLogger("xmmsr").warning(
+            "native ecoordconv: DET-origin offset is calibrated for EPN "
+            "only; using zero offset for %s (arcmin-level WCS error).", inst,
+        )
+        offset = (0.0, 0.0)
+    ra, dec = det_to_sky(
+        0.0, 0.0,
+        float(in_header["RA_PNT"]),
+        float(in_header["DEC_PNT"]),
+        float(in_header["PA_PNT"]),
+        offset,
+    )
+    # evselect binSize pixel centers: pixel p (1-based) spans the integer
+    # DET values [x0+(p-1)b, x0+pb-1], center x0+(p-1)b+(b-1)/2 — matches
+    # the reference images' LTV/CRVAL grid (e.g. LTV1=229.04375 for the
+    # (403,411) EPN frame).
+    b = float(meta["bin_size"])
+    return {
+        "xima": (0.0 - float(meta["x0"]) - (b - 1.0) / 2.0) / b + 1.0,
+        "yima": (0.0 - float(meta["y0"]) - (b - 1.0) / 2.0) / b + 1.0,
+        "ra": ra,
+        "dec": dec,
+    }
+
+
 def detxy_wcs_header(
     meta: Dict[str, Any], in_header: Header, ref_pix: Optional[Dict[str, float]] = None
 ) -> Header:
     """WCS header for a freshly binned detxy image (make_detxy_image's
     ecoordconv step, xmmsas_tools.py:567-618).
 
-    Without SAS's `ecoordconv`, the reference pixel must be supplied
-    (`ref_pix` = {"xima", "yima", "ra", "dec"}); REFX/REFY CDELTs come from
-    the event header when present.
+    `ref_pix` ({"xima", "yima", "ra", "dec"}) overrides; when omitted it is
+    computed NATIVELY from the pointing keywords via `native_ecoordconv`
+    (SAS-free — the flagship path emits absolute sky coordinates without
+    `ecoordconv`). REFX/REFY CDELTs come from the event header when present.
     """
     hdr = Header()
     for k, v in in_header.items():
         hdr[k] = v
+    if ref_pix is None:
+        ref_pix = native_ecoordconv(meta, in_header)
     if ref_pix is not None:
         hdr["CRVAL1"] = float(ref_pix["ra"])
         hdr["CRVAL2"] = float(ref_pix["dec"])

@@ -165,7 +165,11 @@ def cap_gti_exposure(gti: GTI, max_expo_ks: float) -> GTI:
 
 @dataclass
 class EventList:
-    """Columns of an EPIC EVENTS extension + detector-coordinate bounds."""
+    """Columns of an EPIC EVENTS extension + detector-coordinate bounds.
+
+    `x`/`y` are the sky-pixel columns (attcalc output, 0.05"/unit TAN grid
+    around the pointing) when present — consumed by the sky-image product
+    (reference make_detxy_image radec_image=True, xmmsas_tools.py:552-565)."""
 
     time: np.ndarray
     detx: np.ndarray
@@ -174,6 +178,8 @@ class EventList:
     pattern: np.ndarray
     flag: np.ndarray
     header: Header
+    x: Optional[np.ndarray] = None
+    y: Optional[np.ndarray] = None
 
     @property
     def detx_bounds(self) -> Tuple[int, int]:
@@ -183,6 +189,14 @@ class EventList:
     def dety_bounds(self) -> Tuple[int, int]:
         return self._bounds("DETY")
 
+    @property
+    def x_bounds(self) -> Tuple[int, int]:
+        return self._bounds("X")
+
+    @property
+    def y_bounds(self) -> Tuple[int, int]:
+        return self._bounds("Y")
+
     def _bounds(self, col: str) -> Tuple[int, int]:
         idx = None
         for i in range(1, int(self.header["TFIELDS"]) + 1):
@@ -190,7 +204,10 @@ class EventList:
                 idx = i
                 break
         if idx is None or f"TLMIN{idx}" not in self.header:
-            arr = self.detx if col == "DETX" else self.dety
+            arr = {"DETX": self.detx, "DETY": self.dety,
+                   "X": self.x, "Y": self.y}[col]
+            if arr is None:
+                raise ValueError(f"No {col} column or TLMIN/TLMAX bounds")
             return int(arr.min()), int(arr.max())
         return int(self.header[f"TLMIN{idx}"]), int(self.header[f"TLMAX{idx}"])
 
@@ -198,7 +215,7 @@ class EventList:
 def load_event_list(path: Path) -> EventList:
     cols, hdr = read_bintable(
         path,
-        columns=["TIME", "DETX", "DETY", "PI", "PATTERN", "FLAG"],
+        columns=["TIME", "DETX", "DETY", "PI", "PATTERN", "FLAG", "X", "Y"],
         extname="EVENTS",
     )
     missing = [c for c in ("TIME", "DETX", "DETY", "PI") if c not in cols]
@@ -213,6 +230,8 @@ def load_event_list(path: Path) -> EventList:
         pattern=np.asarray(cols.get("PATTERN", np.zeros(n)), np.int32),
         flag=np.asarray(cols.get("FLAG", np.zeros(n)), np.int32),
         header=hdr,
+        x=np.asarray(cols["X"], np.int32) if "X" in cols else None,
+        y=np.asarray(cols["Y"], np.int32) if "Y" in cols else None,
     )
 
 
@@ -268,6 +287,41 @@ def _bin_events_device(
     return img[:-1].reshape(ny, nx)
 
 
+def _event_selection(
+    events: EventList,
+    gti: Optional[GTI],
+    pi_band: Tuple[int, int],
+    pattern_max: int,
+    flag_mask: int = -1,
+) -> np.ndarray:
+    """Quality + band + GTI predicate shared by the detxy and sky binners."""
+    sel = (
+        (events.pi >= pi_band[0])
+        & (events.pi <= pi_band[1])
+        & ((events.flag & np.int32(flag_mask)) == 0)
+        & (events.pattern <= pattern_max)
+    )
+    if gti is not None and len(gti.start):
+        in_gti = np.zeros(events.time.shape, bool)
+        for s, e in zip(gti.start, gti.stop):
+            in_gti |= (events.time >= s) & (events.time < e)
+        sel &= in_gti
+    return sel
+
+
+def _bincount_image(
+    cx: np.ndarray, cy: np.ndarray, nx: int, ny: int, bin_size: int,
+    x0: int, y0: int,
+) -> np.ndarray:
+    ix = (cx - x0) // bin_size
+    iy = (cy - y0) // bin_size
+    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    flat = (iy[inside] * nx + ix[inside]).astype(np.int64)
+    return (
+        np.bincount(flat, minlength=nx * ny).reshape(ny, nx).astype(np.float32)
+    )
+
+
 def _bin_events_host(
     events: EventList,
     gti: Optional[GTI],
@@ -283,24 +337,68 @@ def _bin_events_host(
     """Vectorized numpy filter + bincount (the fast path when events live on
     the host: the device kernel's host->device transfer dominates through
     this runtime — ~0.5 Mevents/s device vs ~30 Mevents/s host)."""
-    sel = (
-        (events.pi >= pi_band[0])
-        & (events.pi <= pi_band[1])
-        & ((events.flag & np.int32(flag_mask)) == 0)
-        & (events.pattern <= pattern_max)
+    sel = _event_selection(events, gti, pi_band, pattern_max, flag_mask)
+    return _bincount_image(
+        events.detx[sel], events.dety[sel], nx, ny, bin_size, x0, y0
     )
-    if gti is not None and len(gti.start):
-        in_gti = np.zeros(events.time.shape, bool)
-        for s, e in zip(gti.start, gti.stop):
-            in_gti |= (events.time >= s) & (events.time < e)
-        sel &= in_gti
-    ix = (events.detx[sel] - x0) // bin_size
-    iy = (events.dety[sel] - y0) // bin_size
-    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
-    flat = (iy[inside] * nx + ix[inside]).astype(np.int64)
-    return (
-        np.bincount(flat, minlength=nx * ny).reshape(ny, nx).astype(np.float32)
+
+
+def bin_events_sky(
+    events: EventList,
+    gti: Optional[GTI] = None,
+    bin_size: int = PN_BIN_SIZE,
+    pi_band: Tuple[int, int] = PN_PI_BAND,
+    pattern_max: int = 4,
+    flag_mask: int = -1,
+) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Sky-coordinate (X/Y) count image — the reference's second evselect
+    call (make_detxy_image radec_image=True, xmmsas_tools.py:552-565).
+
+    X/Y are attcalc sky pixels (0.05"/unit TAN grid around the pointing);
+    binning over the column TLMIN/TLMAX bounds at the same bin size yields
+    the RA/DEC-aligned product. The returned meta carries the grid origin
+    for `sky_wcs_header`.
+    """
+    if events.x is None or events.y is None:
+        raise ValueError(
+            "Event list has no X/Y sky columns — an un-attcalc'd event "
+            "list can only produce the detxy product"
+        )
+    x0, x1 = events.x_bounds
+    y0, y1 = events.y_bounds
+    nx = (x1 - x0 + 1) // bin_size
+    ny = (y1 - y0 + 1) // bin_size
+    sel = _event_selection(events, gti, pi_band, pattern_max, flag_mask)
+    img = _bincount_image(
+        events.x[sel], events.y[sel], nx, ny, bin_size, x0, y0
     )
+    return img, {
+        "bin_size": bin_size, "x0": x0, "y0": y0, "nx": nx, "ny": ny,
+        "exposure": gti.exposure if gti is not None else float("nan"),
+    }
+
+
+def sky_wcs_header(meta: Dict[str, float], in_header: Header) -> Header:
+    """RA/DEC WCS for a sky-binned image, from the event header's REFX/REFY
+    sky-frame keywords (the attcalc TAN grid: CRPIX 25921 at the pointing,
+    0.05"/unit) rescaled to the binned grid."""
+    hdr = Header()
+    for k, v in in_header.items():
+        hdr[k] = v
+    b = float(meta["bin_size"])
+    if "REFXCRPX" in in_header:
+        hdr["CTYPE1"] = "RA---TAN"
+        hdr["CTYPE2"] = "DEC--TAN"
+        hdr["CRVAL1"] = float(in_header["REFXCRVL"])
+        hdr["CRVAL2"] = float(in_header["REFYCRVL"])
+        hdr["CRPIX1"] = (float(in_header["REFXCRPX"]) - meta["x0"]) / b + 0.5
+        hdr["CRPIX2"] = (float(in_header["REFYCRPX"]) - meta["y0"]) / b + 0.5
+        hdr["CDELT1"] = b * float(in_header["REFXCDLT"])
+        hdr["CDELT2"] = b * float(in_header["REFYCDLT"])
+        hdr["CUNIT1"] = "deg"
+        hdr["CUNIT2"] = "deg"
+    hdr["EXPOSURE"] = meta.get("exposure", 0.0)
+    return hdr
 
 
 def bin_events(
@@ -387,20 +485,22 @@ def bin_events(
     return np.asarray(img), meta
 
 
-def detxy_image_from_event_file(
+def products_from_event_file(
     event_path: Path,
     fbk_path: Optional[Path] = None,
     max_expo_ks: float = 20.0,
     bin_size: int = PN_BIN_SIZE,
     pi_band: Tuple[int, int] = PN_PI_BAND,
     instrument: Optional[str] = None,
-) -> Tuple[np.ndarray, Dict[str, float], Header]:
-    """Full native chain: event FITS (+ optional FBKTSR) -> detxy image.
+    sky: bool = True,
+) -> Dict[str, object]:
+    """Full native chain: event FITS (+ optional FBKTSR) -> image products.
 
     The TPU-native equivalent of produce_detxy_image_for_inference.py's
     get_detxy_for_obs_id (GTI -> filter -> bin), minus the subprocess hops.
-    The quality-filter family (PN vs MOS) is selected from `instrument` or,
-    when None, the event header's INSTRUME keyword.
+    Returns {"detxy": (img, meta), "header": Header[, "sky": (img, meta)]}:
+    the sky product (reference radec_image=True) shares the same GTI/filter
+    pass and appears whenever the event list carries X/Y columns.
     """
     events = load_event_list(event_path)
     inst = instrument or str(events.header.get("INSTRUME", "EPN"))
@@ -422,4 +522,29 @@ def detxy_image_from_event_file(
     )
     if gti is None:
         meta["exposure"] = float(events.header.get("ONTIME", float("nan")))
-    return img, meta, events.header
+    out: Dict[str, object] = {"detxy": (img, meta), "header": events.header}
+    if sky and events.x is not None and events.y is not None:
+        sky_img, sky_meta = bin_events_sky(
+            events, gti, bin_size=bin_size, pi_band=pi_band,
+            pattern_max=filt["pattern_max"], flag_mask=filt["flag_mask"],
+        )
+        sky_meta["exposure"] = meta["exposure"]
+        out["sky"] = (sky_img, sky_meta)
+    return out
+
+
+def detxy_image_from_event_file(
+    event_path: Path,
+    fbk_path: Optional[Path] = None,
+    max_expo_ks: float = 20.0,
+    bin_size: int = PN_BIN_SIZE,
+    pi_band: Tuple[int, int] = PN_PI_BAND,
+    instrument: Optional[str] = None,
+) -> Tuple[np.ndarray, Dict[str, float], Header]:
+    """detxy-only wrapper over `products_from_event_file` (stable API)."""
+    prods = products_from_event_file(
+        event_path, fbk_path, max_expo_ks=max_expo_ks, bin_size=bin_size,
+        pi_band=pi_band, instrument=instrument, sky=False,
+    )
+    img, meta = prods["detxy"]
+    return img, meta, prods["header"]

@@ -120,6 +120,8 @@ class Trainer:
 
         ckpt_root = trainer_config.checkpoint_root or Path("checkpoints")
         self.ckpt = CheckpointManager(Path(ckpt_root) / model_config.name.value)
+        self._eval_cache = {}
+        self._live_state = None
 
         if getattr(model_config, "s2d_train", False):
             from ..models.rrdb import GeneratorRRDB_DN, GeneratorRRDB_SR
@@ -207,22 +209,35 @@ class Trainer:
         self, params, split: str, prefix: str, extended: bool = False,
         include_input_metrics: bool = True,
     ) -> Dict[str, float]:
-        colls = self._make_collections(prefix, extended)
-        if not include_input_metrics:
-            colls = {k: v for k, v in colls.items() if not k.startswith("in:")}
-        updaters = {k: v.update for k, v in colls.items()}
-        eval_step = make_eval_step(
-            lambda x: self._apply(params, x),
-            self.loss_fn,
-            self.mesh,
-            metric_updaters=updaters,
-            upsample_input=self.scale,
-        )
+        # Cache (collections, compiled step) per configuration: the step
+        # takes params as an ARGUMENT, so one executable serves every epoch
+        # (rebuilding it per epoch would bake the weights in as constants
+        # and recompile each time — measured ~80 s/epoch through the
+        # remote-AOT tunnel before this cache).
+        key = (prefix, extended, include_input_metrics)
+        cached = self._eval_cache.get(key)
+        if cached is None:
+            colls = self._make_collections(prefix, extended)
+            if not include_input_metrics:
+                colls = {
+                    k: v for k, v in colls.items() if not k.startswith("in:")
+                }
+            updaters = {k: v.update for k, v in colls.items()}
+            eval_step = make_eval_step(
+                self._apply,
+                self.loss_fn,
+                self.mesh,
+                metric_updaters=updaters,
+                upsample_input=self.scale,
+            )
+            cached = (colls, eval_step)
+            self._eval_cache[key] = cached
+        colls, eval_step = cached
         states = {k: replicate(self.mesh, v.init()) for k, v in colls.items()}
         loss_sum = jnp.zeros(())
         n = jnp.zeros(())
         for batch in self.dm.loader(split, mesh=self.mesh):
-            states, dl, dn = eval_step(states, batch)
+            states, dl, dn = eval_step(params, states, batch)
             loss_sum = loss_sum + dl
             n = n + dn
         out = {f"{prefix}/loss": float(loss_sum / jnp.maximum(n, 1.0))}
@@ -338,7 +353,11 @@ class Trainer:
         state: Optional[TrainState] = None,
         from_best: bool = True,
         extended: bool = True,
+        split: str = "test",
     ) -> Dict[str, float]:
+        """Evaluate the best (or given) state. `split` allows testing on
+        "val" when the test partition is empty (e.g. tiny datasets where
+        the torch-random_split remainder rule assigns it zero samples)."""
         if state is None:
             template = jax.device_get(self.init_state())
             state, _ = (
@@ -347,4 +366,4 @@ class Trainer:
                 else self.ckpt.restore(template)
             )
             state = replicate(self.mesh, state)
-        return self._run_eval(state.params, "test", "test", extended=extended)
+        return self._run_eval(state.params, split, "test", extended=extended)

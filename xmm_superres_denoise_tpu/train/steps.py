@@ -127,6 +127,11 @@ def make_eval_step(
 ):
     """Build the jitted eval step.
 
+    `apply_fn(params, x)` takes the parameters EXPLICITLY — passing them as
+    a jit argument rather than a closed-over constant lets one compiled
+    step serve every epoch (a closure would bake the epoch's weights into
+    the executable and recompile per epoch).
+
     `metric_updaters` maps state-key -> update(state, preds_or_lr, target, w).
     The special key prefix "in:" receives the (upsampled) INPUT instead of the
     prediction — the reference's input-baseline metrics (model.py:90-105).
@@ -134,8 +139,8 @@ def make_eval_step(
     """
     metric_updaters = metric_updaters or {}
 
-    def _shard_eval(states, lr, hr, w):
-        preds = apply_fn(lr)
+    def _shard_eval(params, states, lr, hr, w):
+        preds = apply_fn(params, lr)
         target = hr
         # Per-sample losses weighted by w so padded rows (w=0, duplicated
         # last sample — parallel/mesh.py pad_batch) contribute exactly
@@ -171,16 +176,16 @@ def make_eval_step(
     sharded = shard_map(
         _shard_eval,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P(), P()),
     )
 
     @jax.jit
-    def eval_step(states, batch: Batch):
+    def eval_step(params, states, batch: Batch):
         w = batch.get("weight")
         if w is None:
             w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
-        return sharded(states, batch["lr"], batch["hr"], w)
+        return sharded(params, states, batch["lr"], batch["hr"], w)
 
     return eval_step
 
