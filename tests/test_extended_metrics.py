@@ -116,3 +116,42 @@ def test_collection_with_extended_names():
     out = coll.compute(state)
     assert "test/linear/fsim" in out and "test/linear/vif_p" in out
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_fsim_matches_numpy_oracle():
+    """fsim_per_image vs the independent numpy PC2 oracle
+    (metrics/fsim_oracle.py, piq algorithm with the phase-deviation term):
+    agreement to <= 1e-5 on random tensors and a real example image."""
+    from pathlib import Path
+
+    from xmm_superres_denoise_tpu.metrics.extended import fsim_per_image
+    from xmm_superres_denoise_tpu.metrics.fsim_oracle import fsim_oracle
+
+    g = np.random.default_rng(0)
+    a = g.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32)
+    b = np.clip(a + g.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+    j = np.asarray(fsim_per_image(jnp.asarray(a), jnp.asarray(b)))
+    o = fsim_oracle(a, b)
+    np.testing.assert_allclose(j, o, atol=1e-5)
+
+    real = sorted(
+        Path("/root/reference/data/example_data/real/20ks").glob("*.fits")
+    )
+    if real:
+        from xmm_superres_denoise_tpu.io.fits import read_image
+        from xmm_superres_denoise_tpu.ops.preprocess import pad_to_res
+        from xmm_superres_denoise_tpu.ops.stretch import Normalizer
+
+        img, hdr = read_image(real[0])
+        rate = np.asarray(img, np.float32) / max(
+            float(hdr.get("EXPOSURE", 2e4)), 1.0
+        )
+        x = np.asarray(pad_to_res(jnp.asarray(rate[None]), 416))[..., None]
+        nz = Normalizer(lr_max=0.0022336, hr_max=0.0022336, mode="sqrt")
+        xn = np.asarray(nz.normalize_lr(jnp.asarray(x)))
+        noisy = np.clip(xn + g.normal(0, 0.05, xn.shape), 0, 1).astype(
+            np.float32
+        )
+        j = float(fsim_per_image(jnp.asarray(xn), jnp.asarray(noisy))[0])
+        o = float(fsim_oracle(xn, noisy)[0])
+        assert abs(j - o) <= 1e-5

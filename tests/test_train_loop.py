@@ -188,3 +188,71 @@ def test_emergency_checkpoint_on_exception(trainer, monkeypatch):
     restored = trainer.ckpt.restore_emergency(template)
     # the snapshot reflects the live trained state, not init: step advanced
     assert int(restored.step) > 0
+
+
+@pytest.mark.slow
+def test_transformer_fsdp_fit_and_resume(tmp_path):
+    """End-to-end FSDP fit (VERDICT r2 #6): tiny DRCT through the GSPMD
+    train step with parameters actually sharded over the fsdp mesh axis,
+    multi-epoch, with orbax save + mid-run resume reproducing the same
+    final state as an uninterrupted run."""
+    from xmm_superres_denoise_tpu.config import TransformerCfg
+    from xmm_superres_denoise_tpu.parallel.mesh import FSDP_AXIS
+
+    def make_trainer(root):
+        ds_cfg = _boring_cfg(root, lr_res=32, res_mult=2, batch=8)
+        dm = XmmDataModule(ds_cfg, splits_root=root / "splits", boring_size=16)
+        tr_cfg = TrainerCfg(
+            epochs=3,
+            checkpoint_root=root / "ckpt",
+            mesh=MeshCfg(data=4, fsdp=2),
+        )
+        mc = ModelCfg(
+            name="drct",
+            memory_efficient=True,
+            batch_size=8,
+            model=TransformerCfg(
+                base_model="drct", img_size=32, window_size=8, embed_dim=64,
+                num_heads=[2], depths=[2], patch_size=1,
+                upsampler="pixelshuffle",
+            ),
+            optimizer=OptimizerCfg(learning_rate=2e-3, betas=(0.9, 0.999)),
+        )
+        loss = create_loss(None, LossCfg(l1=1.0))
+        return Trainer(mc, tr_cfg, dm, loss, metric_names=["psnr"])
+
+    # uninterrupted 3-epoch run
+    t_full = make_trainer(tmp_path / "full")
+    assert t_full._fsdp
+    state = t_full.init_state(seed=0)
+    specs = [
+        str(getattr(l.sharding, "spec", None))
+        for l in jax.tree_util.tree_leaves(state.params)
+    ]
+    assert any(FSDP_AXIS in s for s in specs), "no param actually fsdp-sharded"
+    # Boring targets are ~N(0,1): with L1 + output clamp the optimum is the
+    # constant-0 prediction, reached within epoch 0 — so descent is
+    # measured from the INIT state's val loss, not epoch-to-epoch.
+    init_val = t_full._run_eval(
+        state.params, "val", "val", include_input_metrics=False
+    )["val/loss"]
+    full = t_full.fit(seed=0)
+    assert len(full.history) == 3
+    assert full.best_val_loss < init_val, (full.best_val_loss, init_val)
+
+    # interrupted run: 2 epochs, then resume for the 3rd
+    t_a = make_trainer(tmp_path / "resumed")
+    t_a.trainer_config.epochs = 2
+    t_a.fit(seed=0)
+    t_b = make_trainer(tmp_path / "resumed")
+    resumed = t_b.fit(seed=0, resume=True)
+    assert len(resumed.history) == 1 and resumed.history[0]["epoch"] == 2
+
+    final_full, _ = t_full.ckpt.restore(jax.device_get(t_full.init_state()))
+    final_res, _ = t_b.ckpt.restore(jax.device_get(t_b.init_state()))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_full.params),
+        jax.tree_util.tree_leaves(final_res.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

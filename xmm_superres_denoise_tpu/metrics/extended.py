@@ -365,11 +365,24 @@ def _phase_congruency(
     pc_sum = jnp.zeros((n, h, w))
     for o in range(orientations):
         eo = jnp.fft.ifft2(fx[:, None] * bank[o][None])  # (N, scales, H, W)
+        even, odd = eo.real, eo.imag
         an = jnp.abs(eo)
-        sum_e = jnp.sum(eo.real, axis=1)
-        sum_o = jnp.sum(eo.imag, axis=1)
+        sum_e = jnp.sum(even, axis=1)
+        sum_o = jnp.sum(odd, axis=1)
         sum_an = jnp.sum(an, axis=1)
-        energy = jnp.sqrt(sum_e**2 + sum_o**2)
+
+        # Full Kovesi PC2 energy (piq semantics): project each scale onto
+        # the mean phase and subtract the |A sin(phi - phibar)| deviation —
+        # sqrt(sumE^2 + sumO^2) alone omits the deviation term and
+        # overestimates congruency (verified against metrics/fsim_oracle.py).
+        x_energy = jnp.sqrt(sum_e**2 + sum_o**2) + eps
+        mean_e = sum_e / x_energy
+        mean_o = sum_o / x_energy
+        energy = jnp.sum(
+            even * mean_e[:, None] + odd * mean_o[:, None]
+            - jnp.abs(even * mean_o[:, None] - odd * mean_e[:, None]),
+            axis=1,
+        )
 
         # Rayleigh noise threshold from the smallest-scale response
         abs_eo0 = an[:, 0].reshape(n, -1)
