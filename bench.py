@@ -61,7 +61,7 @@ TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # 394 TOPS mode; the bf16 S2D path is compute-bound at ~93% of the 197 TF/s
 # peak, so int8 is the remaining serving lever, docs/PERFORMANCE.md).
 # Measured: int8-b32 142.8 / int8-b8 122 / s2d-b32 75 / s2d-b8 72 / xla 34.
-CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("s2d", 8), ("xla", 8)]
+CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("xla", 8), ("s2d", 8)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:

@@ -71,6 +71,30 @@ def make_pps(pps: Path, n: int) -> None:
     (pps / "P0000000000OBX000CALIND0000.FTZ").write_bytes(b"\x00")
 
 
+def measure_relay_overhead(n: int = 11) -> float:
+    """p50 of the pure relay cost of one engine-shaped dispatch: one host->
+    device transfer, one jitted execution, two device->host readbacks of
+    tiny arrays. Everything environment, nothing model — subtracting it
+    from the inference stage gives the relay-corrected latency (same
+    methodology as the RTT-corrected calibration probes,
+    docs/PERFORMANCE.md)."""
+
+    @jax.jit
+    def f(x):
+        return x + 1.0, x * 2.0
+
+    x = np.zeros((4,), np.float32)
+    a, b = f(jnp.asarray(x))
+    np.asarray(a), np.asarray(b)  # warm
+    lat = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        a, b = f(jnp.asarray(x))
+        np.asarray(a), np.asarray(b)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
 def main() -> None:
     print("devices:", jax.devices(), flush=True)
     work = Path(tempfile.mkdtemp(prefix="xmmsr_e2e_"))
@@ -78,6 +102,10 @@ def main() -> None:
         pps = work / "pps"
         pps.mkdir()
         make_pps(pps, N_EVENTS)
+
+        relay_s = measure_relay_overhead()
+        print(json.dumps({"relay_overhead_p50_s": round(relay_s, 3)}),
+              flush=True)
 
         ds = DatasetCfg(
             directory=Path("."), scaling="sqrt", type="boring",
@@ -115,6 +143,14 @@ def main() -> None:
                 k: round(float(np.median([d[k] for d in lat])), 3)
                 for k in lat[0]
             }
+            # relay-corrected: the warm engine's inference stage minus the
+            # pure relay dispatch/readback cost (environment, not framework)
+            p50["inference_relay_corrected"] = round(
+                max(p50["inference"] - relay_s, 0.0), 3
+            )
+            p50["total_relay_corrected"] = round(
+                max(p50["total"] - relay_s, 0.0), 3
+            )
             print(json.dumps({"mode": mode, "p50_s": p50}), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -79,7 +79,7 @@ def test_bench_sigterm_kill_path_delivers_json():
     env = dict(
         os.environ,
         XMMSR_BENCH_FAKE="222.5",
-        XMMSR_BENCH_FAKE_SLEEP_S="120",
+        XMMSR_BENCH_FAKE_SLEEP_S="300",
         XMMSR_BENCH_DEADLINE_S="600",
     )
     proc = subprocess.Popen(
@@ -88,8 +88,10 @@ def test_bench_sigterm_kill_path_delivers_json():
         stderr=subprocess.PIPE,
         env=env,
     )
-    # lead candidate (no stall) finishes in ~a second; the second stalls
-    time.sleep(8)
+    # lead candidate (no stall) finishes in ~a second; the second stalls.
+    # Generous wait: under parallel-suite CPU load the two interpreter
+    # startups before the stall can take several seconds.
+    time.sleep(20)
     proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=30)
     assert proc.returncode == 0, (out, err)

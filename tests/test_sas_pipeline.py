@@ -145,3 +145,61 @@ def test_make_gti_pps_with_cap(fake_sas, tmp_path, monkeypatch):
     cols, _ = read_bintable(gtis[0], columns=["START", "STOP"],
                             extname="STDGTI")
     assert (cols["STOP"] - cols["START"]).sum() <= 20_000.0
+
+
+def test_get_pps_nxsa_download_and_extract(tmp_path):
+    """get_pps_nxsa: downloads the NXSA AIO tar (opener injectable — no
+    network), extracts <obsid>/pps/* next to w_dir, deletes the tar, and
+    indexes the products; skip=True short-circuits on an existing dir."""
+    import io
+    import tarfile
+
+    from xmm_superres_denoise_tpu.sas.pipeline import NXSA_AIO_URL, get_pps_nxsa
+
+    obsid = "0200920101"
+    w_dir = tmp_path / obsid
+    w_dir.mkdir()
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name in ("P0OBX000CALIND0.FTZ", "P0PNS003PIEVLI0.FTZ",
+                     "P0PNS003FBKTSR0.FTZ", "P0SCX000ATTTSR0.FTZ"):
+            data = b"\x00" * 8
+            info = tarfile.TarInfo(f"{obsid}/pps/{name}")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    payload = buf.getvalue()
+
+    calls = []
+
+    def opener(url):
+        calls.append(url)
+        return payload
+
+    pps = get_pps_nxsa(obsid, w_dir, skip=True, opener=opener)
+    assert calls == [NXSA_AIO_URL.format(obs_id=obsid)]
+    assert pps["pps_dir"] == w_dir / "pps"
+    assert pps["ccf_file"].name == "P0OBX000CALIND0.FTZ"
+    assert [f.name for f in pps["evl_files"]] == ["P0PNS003PIEVLI0.FTZ"]
+    assert [f.name for f in pps["att_files"]] == ["P0SCX000ATTTSR0.FTZ"]
+    assert not (w_dir / "PPS_nxsa.tar").exists()  # tar cleaned up
+
+    # second call with skip=True: no download
+    pps2 = get_pps_nxsa(obsid, w_dir, skip=True, opener=opener)
+    assert len(calls) == 1 and pps2["pps_dir"] == pps["pps_dir"]
+
+
+def test_get_pps_nxsa_offline_error(tmp_path):
+    """A network failure surfaces as a clear RuntimeError pointing at the
+    pre-downloaded-PPS fallback, not a raw socket traceback."""
+    import pytest as _pytest
+
+    from xmm_superres_denoise_tpu.sas.pipeline import get_pps_nxsa
+
+    def opener(url):
+        raise OSError("no route to host")
+
+    w = tmp_path / "obs"
+    w.mkdir()
+    with _pytest.raises(RuntimeError, match="offline|place the PPS"):
+        get_pps_nxsa("0000000000", w, opener=opener)

@@ -8,9 +8,10 @@ DETX/DETY image binning via `evselect`, and the `ecoordconv` WCS fixup.
 The SAS binaries are an external dependency; when they are absent, the
 framework's NATIVE path (`ops.events.detxy_image_from_event_file`) performs
 the same GTI -> filter -> bin chain directly from FITS bintables on device —
-`infer.end2end` prefers it automatically. Archive download (get_pps_nxsa,
-xmmsas_tools.py:61-96) requires network access; this environment is
-zero-egress, so only pre-downloaded PPS dirs are supported.
+`infer.end2end` prefers it automatically. Archive download (`get_pps_nxsa`)
+talks to the public NXSA AIO endpoint directly over urllib (no astroquery
+dependency); in a zero-egress environment it raises a clear error and
+pre-downloaded PPS dirs remain the supported path.
 """
 
 from __future__ import annotations
@@ -54,6 +55,76 @@ def run_sas_command(args: List[str]) -> subprocess.CompletedProcess:
             f"SAS command failed ({args[0]}): {proc.stderr.decode(errors='replace')}"
         )
     return proc
+
+
+# NXSA "archive inter-operability" endpoint — the same service astroquery's
+# XMMNewton.download_data wraps (reference get_pps_nxsa, xmmsas_tools.py:61-96).
+NXSA_AIO_URL = (
+    "https://nxsa.esac.esa.int/nxsa-sl/servlet/data-action-aio"
+    "?obsno={obs_id}&level=PPS&extension=FTZ"
+)
+
+
+def get_pps_nxsa(
+    obs_id: str,
+    w_dir: Path = Path("."),
+    skip: bool = True,
+    keeptar: bool = False,
+    opener=None,
+) -> PPSFiles:
+    """Download an observation's PPS products (FTZ only) from the XMM
+    archive and index them (get_pps_nxsa semantics, xmmsas_tools.py:61-96).
+
+    `opener(url) -> bytes` is injectable for tests; the default uses
+    urllib against the public NXSA AIO endpoint. Zero-egress environments
+    get a clear RuntimeError pointing at the pre-downloaded-PPS path. The
+    tar extracts into `w_dir.parent` (archives carry `<obsid>/pps/...`
+    members, reference behavior) and is deleted unless `keeptar`.
+    """
+    import tarfile
+    import warnings
+
+    w_dir = Path(w_dir)
+    if not w_dir.exists():
+        warnings.warn(
+            f"The working dir {w_dir} does not exist. Will use the current dir."
+        )
+        w_dir = Path(".")
+    pps_dir = w_dir / "pps"
+
+    if pps_dir.exists() and skip:
+        return check_pps_dir(pps_dir)
+    if pps_dir.exists():
+        warnings.warn(
+            f"Found an already existing folder {pps_dir} and skip flag is "
+            "not set => files will be overwritten!"
+        )
+
+    if opener is None:
+        def opener(url: str) -> bytes:
+            from urllib.request import urlopen
+
+            with urlopen(url, timeout=120) as resp:
+                return resp.read()
+
+    tar_path = w_dir / "PPS_nxsa.tar"
+    try:
+        tar_path.write_bytes(opener(NXSA_AIO_URL.format(obs_id=obs_id)))
+    except OSError as e:
+        raise RuntimeError(
+            f"NXSA download for {obs_id} failed ({e}); in an offline "
+            "environment place the PPS products under "
+            f"{pps_dir} and rerun."
+        ) from e
+    if not tarfile.is_tarfile(tar_path):
+        raise RuntimeError(
+            f"Downloaded file from NXSA {tar_path} does not look like tar file."
+        )
+    with tarfile.open(tar_path, "r") as tar:
+        tar.extractall(path=w_dir.parent, filter="data")
+    if not keeptar:
+        tar_path.unlink()
+    return check_pps_dir(pps_dir)
 
 
 def check_pps_dir(pps_dir: Path) -> PPSFiles:
@@ -282,19 +353,3 @@ def make_detxy_image(
     return out
 
 
-def get_pps_nxsa(obs_id: str, w_dir: Path) -> PPSFiles:
-    """Download PPS products for an OBS_ID from the XMM-Newton archive
-    (reference get_pps_nxsa, xmmsas_tools.py:61-96, astroquery-backed).
-
-    This environment is zero-egress; the function validates a pre-downloaded
-    `<w_dir>/<obs_id>/pps` directory instead and raises with instructions
-    when it is absent.
-    """
-    pps_dir = Path(w_dir) / obs_id / "pps"
-    if pps_dir.is_dir():
-        return check_pps_dir(pps_dir)
-    raise RuntimeError(
-        f"No network access to the NXSA archive: place the PPS products for "
-        f"OBS_ID {obs_id} under {pps_dir} (e.g. from "
-        f"https://nxsa.esac.esa.int/nxsa-web) and retry."
-    )
