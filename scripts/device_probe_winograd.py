@@ -132,15 +132,21 @@ def main() -> None:
     def wino(x):
         return winograd_conv(x, u)
 
-    # exactness first (f32, small)
+    # exactness first (f32, small). TPU's default f32 conv/einsum rounds
+    # operands through bf16, so force HIGHEST precision for this check —
+    # otherwise both paths carry ~1e-2 rounding and the bound is meaningless.
     xs = jnp.asarray(g.uniform(-1, 1, (2, 16, 16, 8)), jnp.float32)
     ws = jnp.asarray(g.normal(0, 0.1, (3, 3, 8, 8)), jnp.float32)
-    ref = lax.conv_general_dilated(
-        xs, ws, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    got = winograd_conv(xs, winograd_weights(ws), dtype=jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = lax.conv_general_dilated(
+            xs, ws, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST)
+        got = winograd_conv(xs, winograd_weights(ws), dtype=jnp.float32)
     err = float(jnp.max(jnp.abs(ref - got)))
-    print(f"winograd exactness (f32): max|diff| = {err:.2e}", flush=True)
-    assert err < 1e-4
+    print(f"winograd exactness (f32, HIGHEST): max|diff| = {err:.2e}",
+          flush=True)
+    assert err < 1e-4, err
 
     t_direct = _time_chain(direct, x, f"direct conv {C}->{C} @{H}^2 b{B}")
     t_wino = _time_chain(wino, x, f"winograd F(2x2,3x3) same shape")
