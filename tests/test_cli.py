@@ -279,3 +279,39 @@ def test_inference_engine_crop_p(tmp_path):
     assert inp_f.shape == (32, 32) and pred_f.shape == (64, 64)
     # the center-cropped input equals the matching slice of the full input
     np.testing.assert_allclose(inp, inp_f[8:24, 8:24], rtol=1e-6)
+
+
+def test_cli_serve_batched(tmp_path):
+    """`serve` subcommand: glob of detxy FITS through one warm engine ->
+    per-file product pairs + one JSON summary line."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.cli import main
+    from xmm_superres_denoise_tpu.infer.onnx_import import export_onnx_params
+    from xmm_superres_denoise_tpu.io.fits import read_image, write_image
+    from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
+
+    model = GeneratorRRDB_SR(num_filters=32, num_res_blocks=4, num_upsample=1)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ckpt = export_onnx_params(template, tmp_path / "weights.onnx")
+
+    g = np.random.default_rng(0)
+    for i in range(3):
+        hdr = {"EXPOSURE": 20_000.0, "CRPIX1": 10.0, "CRPIX2": 12.0,
+               "CRVAL1": 150.0, "CRVAL2": 2.0, "CDELT1": -0.001111,
+               "CDELT2": 0.001111, "PA_PNT": 65.0}
+        write_image(tmp_path / f"det{i}.fits",
+                    g.poisson(2.0, (28, 30)).astype(np.int32), hdr)
+
+    run = _write_run_config(tmp_path)
+    rc = main([
+        "serve", str(tmp_path / "det*.fits"),
+        "--checkpoint", str(ckpt), "--out", str(tmp_path / "out"),
+        "--run_config", str(run), "--batch", "2",
+    ])
+    assert rc == 0
+    preds = sorted((tmp_path / "out").glob("*predict*.fits.gz"))
+    assert len(preds) == 3
+    img, _ = read_image(preds[0])
+    assert img.shape == (64, 64)

@@ -362,3 +362,39 @@ def test_int8_scales_fingerprint_binding(tmp_path):
     assert fp1 == fp2
     other = jax.tree_util.tree_map(lambda a: a + 1e-3, model_params)
     assert params_fingerprint(other) != fp1
+
+
+def test_serve_files_matches_single_file_path(tmp_path):
+    """Batched serving (serve_files: one warm engine, pipelined
+    predict_tiles + denorm_inputs) emits products identical to the
+    single-file infer_file path for every input."""
+    from xmm_superres_denoise_tpu.infer.run_file import serve_files
+
+    engine, ds = _engine(sr=True)
+    files = []
+    for i in range(3):
+        d = tmp_path / f"f{i}"
+        d.mkdir()
+        p = _write_detxy(d, seed=i)
+        # distinct basenames so batched products don't collide in one out dir
+        q = p.with_name(f"det{i}_{p.name}")
+        p.rename(q)
+        files.append(q)
+
+    served = serve_files(
+        files, engine, tmp_path / "served", hr_exp_ks=100.0,
+        model_name="esr_gen", batch_size=2, plot=False,
+    )
+    assert len(served) == 3
+    for f, (s_in, s_pred) in zip(files, served):
+        r_in, r_pred = infer_file(
+            f, engine, tmp_path / "single" / f.parent.name,
+            hr_exp_ks=100.0, model_name="esr_gen", plot=False,
+        )
+        img_s, h_s = read_image(s_pred)
+        img_r, h_r = read_image(r_pred)
+        np.testing.assert_allclose(img_s, img_r, atol=1e-6)
+        assert h_s["CRPIX1"] == h_r["CRPIX1"]
+        in_s, _ = read_image(s_in)
+        in_r, _ = read_image(r_in)
+        np.testing.assert_allclose(in_s, in_r, atol=1e-6)

@@ -115,12 +115,20 @@ def cmd_test(args) -> int:
     return 0
 
 
-def cmd_infer(args) -> int:
+def _build_engine(args):
+    """Shared engine construction for the `infer` and `serve` subcommands:
+    run config -> model -> checkpoint params (npz/onnx/orbax) -> optional
+    fingerprint-bound int8 scales -> InferenceEngine.
+
+    Returns (engine, ds_cfg, m_cfg, save_scales) where `save_scales()`
+    persists freshly calibrated int8 scales (bound to the checkpoint
+    fingerprint) if an --int8_scales path was given and no valid scales
+    were loaded."""
     import jax
     import jax.numpy as jnp
 
     from .data.datasets import load_det_mask
-    from .infer.run_file import InferenceEngine, infer_file
+    from .infer.run_file import InferenceEngine
     from .models.registry import build_model
     from .train.checkpoints import load_params_npz
 
@@ -128,7 +136,6 @@ def cmd_infer(args) -> int:
     lr = (ds_cfg.lr.res, ds_cfg.lr.res)
     hr = (ds_cfg.hr.res, ds_cfg.hr.res) if ds_cfg.hr else lr
     model = build_model(m_cfg, lr, hr)
-    import jax.numpy as jnp
 
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *lr, 1)))
     ckpt = Path(args.checkpoint)
@@ -179,22 +186,64 @@ def cmd_infer(args) -> int:
             scales = obj
     engine = InferenceEngine(
         m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
-        crop_p=args.crop_p, quantize=args.int8, int8_scales=scales,
+        crop_p=getattr(args, "crop_p", 1.0), quantize=args.int8,
+        int8_scales=scales,
     )
+
+    def save_scales() -> None:
+        if args.int8 and scales_path and scales is None and engine.int8_scales:
+            from .utils.fingerprint import params_fingerprint
+
+            Path(scales_path).write_text(json.dumps({
+                "fingerprint": params_fingerprint(params),
+                "scales": engine.int8_scales,
+            }))
+
+    return engine, ds_cfg, m_cfg, save_scales
+
+
+def cmd_infer(args) -> int:
+    from .infer.run_file import infer_file
+
+    engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
     p_in, p_pred = infer_file(
         Path(args.fits), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
         model_name=m_cfg.name.value,
         plot=args.plot,
     )
-    if args.int8 and scales_path and scales is None and engine.int8_scales:
-        from .utils.fingerprint import params_fingerprint
-
-        Path(scales_path).write_text(json.dumps({
-            "fingerprint": params_fingerprint(params),
-            "scales": engine.int8_scales,
-        }))
+    save_scales()
     print(json.dumps({"input": str(p_in), "prediction": str(p_pred)}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Batched production serving: a set of detxy FITS files through ONE
+    warm engine (pipelined predict_tiles) -> per-file product pairs."""
+    import glob as _glob
+
+    from .infer.run_file import serve_files
+
+    files: list = []
+    for pat in args.fits:
+        hits = sorted(_glob.glob(str(pat)))
+        files.extend(hits if hits else [pat])
+    if not files:
+        log.error("serve: no input files matched %s", args.fits)
+        return 2
+    engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
+    results = serve_files(
+        files, engine, Path(args.out),
+        hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
+        model_name=m_cfg.name.value,
+        batch_size=args.batch,
+        plot=args.plot,
+    )
+    save_scales()
+    print(json.dumps([
+        {"file": str(f), "input": str(p[0]), "prediction": str(p[1])}
+        for f, p in zip(files, results)
+    ]))
     return 0
 
 
@@ -356,6 +405,29 @@ def main(argv=None) -> int:
                    help="crop fraction applied after padding, origin per the "
                         "dataset crop_mode (1.0 = no crop, reference default)")
     p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser(
+        "serve",
+        help="batched production serving: many detxy FITS through one "
+             "warm engine (pipelined tile batching)",
+    )
+    p.add_argument("fits", nargs="+",
+                   help="detxy FITS paths or glob patterns")
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--run_config", type=Path, required=True)
+    p.add_argument("--batch", type=int, default=32,
+                   help="device batch size (32 = measured throughput "
+                        "sweet spot, docs/SERVING.md)")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode (f32 is the parity mode)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 quantized serving (RRDB models)")
+    p.add_argument("--int8_scales", type=Path, default=None,
+                   help="calibrated-scales JSON: loaded if it exists, "
+                        "written after first-batch calibration otherwise")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
     p.add_argument("--checkpoint", type=Path, required=True,

@@ -231,7 +231,20 @@ class InferenceEngine:
         predictions-only jit: the denormalized input `__call__` also
         returns is never computed or transferred here."""
         n = raw.shape[0]
-        outs = []
+        outs: list = []
+        # Pipeline chunks through JAX's async dispatch: keep up to
+        # _INFLIGHT device programs queued ahead of the host readback so
+        # chunk i+1's upload+compute overlaps chunk i's device->host
+        # transfer instead of serializing on np.asarray (~110 MB HBM per
+        # in-flight chunk: 32 x (416^2 in + 832^2 out) fp32).
+        _INFLIGHT = 2
+        pending: list = []  # (device_pred, valid_count)
+
+        def _drain(limit: int) -> None:
+            while len(pending) > limit:
+                pred, k = pending.pop(0)
+                outs.append(np.asarray(pred)[:k])
+
         for i in range(0, n, batch_size):
             chunk = raw[i : i + batch_size]
             k = chunk.shape[0]
@@ -241,9 +254,55 @@ class InferenceEngine:
             chunk = jnp.asarray(chunk, jnp.float32)
             self._ensure_built(chunk)
             chunk, _ = self._place(chunk)
-            pred = np.asarray(self._run_pred(self.params, chunk))
-            outs.append(pred[:k])
+            pending.append((self._run_pred(self.params, chunk), k))
+            _drain(_INFLIGHT)
+        _drain(0)
         return np.concatenate(outs, axis=0)
+
+    def denorm_inputs(
+        self, raw: np.ndarray, batch_size: int = 32
+    ) -> np.ndarray:
+        """(N, H, W) raw rates -> (N, lr_res, lr_res) denormalized padded
+        inputs: the input-product half of `__call__`'s output (mask -> pad
+        -> normalize -> denormalize, NO model) for batch product writing.
+        Pure VPU work; chunked to bound transfer sizes."""
+        if not hasattr(self, "_denorm_in"):
+            nz = self.normalizer
+            prep = self._prep
+
+            @jax.jit
+            def _d(raw):
+                return nz.denormalize_lr(prep(raw))[..., 0]
+
+            self._denorm_in = _d
+        outs = []
+        for i in range(0, raw.shape[0], batch_size):
+            chunk = jnp.asarray(raw[i : i + batch_size], jnp.float32)
+            outs.append(np.asarray(self._denorm_in(chunk)))
+        return np.concatenate(outs, axis=0)
+
+
+def load_rate_image(fits_file: Path) -> Tuple[np.ndarray, dict, float]:
+    """detxy FITS -> (rate image counts/s, header, exposure seconds) with the
+    training-regime exposure sanity warning (run_inference_on_file.py:126-135)."""
+    img, hdr = read_image(fits_file)
+    exposure = float(hdr.get("EXPOSURE", hdr.get("ONTIME", 0.0)))
+    ontime_ks = exposure / 1000.0
+    lo, hi = EXPOSURE_WINDOW_KS
+    if ontime_ks <= lo or ontime_ks >= hi:
+        log.warning(
+            "The networks were trained on 20 ks exposure images; "
+            "the exposure time of the input image is %.2f ks.",
+            ontime_ks,
+        )
+    else:
+        log.info("Input exposure: %.2f ks", ontime_ks)
+
+    # rate image (counts / exposure) like the training data normalization
+    rate = img.astype(np.float32)
+    if exposure > 0:
+        rate = rate / exposure
+    return rate, hdr, exposure
 
 
 def infer_file(
@@ -262,26 +321,69 @@ def infer_file(
     out_path = Path(out_path)
     out_path.mkdir(parents=True, exist_ok=True)
 
-    img, hdr = read_image(fits_file)
-    exposure = float(hdr.get("EXPOSURE", hdr.get("ONTIME", 0.0)))
-    ontime_ks = exposure / 1000.0
-    lo, hi = EXPOSURE_WINDOW_KS
-    if ontime_ks <= lo or ontime_ks >= hi:
-        log.warning(
-            "The networks were trained on 20 ks exposure images; "
-            "the exposure time of the input image is %.2f ks.",
-            ontime_ks,
-        )
-    else:
-        log.info("Input exposure: %.2f ks", ontime_ks)
-
-    # rate image (counts / exposure) like the training data normalization
-    rate = img.astype(np.float32)
-    if exposure > 0:
-        rate = rate / exposure
-
+    rate, hdr, exposure = load_rate_image(fits_file)
     pred, inp = engine(rate)
+    return write_products(
+        inp, pred, out_path, fits_file, exposure, hr_exp_ks, model_name,
+        hdr, plot=plot,
+    )
 
+
+def serve_files(
+    files,
+    engine: InferenceEngine,
+    out_path: Path,
+    hr_exp_ks: float,
+    model_name: str,
+    batch_size: int = 32,
+    plot: bool = False,
+):
+    """Batched production serving: many detxy FITS -> product pairs.
+
+    The throughput counterpart of `infer_file`: all inputs are read
+    host-side, stacked by native geometry, and run through the engine's
+    pipelined `predict_tiles` (one compiled program per shape group, up to
+    two chunks in flight) instead of one engine call per file. Input
+    products come from `denorm_inputs` — the same mask/pad/normalize/
+    denormalize chain `__call__` applies — and `write_products` emits
+    per-file outputs identical to the single-file path.
+
+    Returns [(input_product, prediction_product), ...] aligned with
+    `files`."""
+    files = [Path(f) for f in files]
+    metas = [load_rate_image(f) for f in files]
+    groups: dict = {}
+    for idx, (rate, _, _) in enumerate(metas):
+        groups.setdefault(rate.shape, []).append(idx)
+    results: list = [None] * len(files)
+    for idxs in groups.values():
+        stack = np.stack([metas[i][0] for i in idxs])
+        preds = engine.predict_tiles(stack, batch_size=batch_size)
+        inps = engine.denorm_inputs(stack, batch_size=batch_size)
+        for j, i in enumerate(idxs):
+            _, hdr, exposure = metas[i]
+            results[i] = write_products(
+                inps[j], preds[j], out_path, files[i], exposure,
+                hr_exp_ks, model_name, hdr, plot=plot,
+            )
+    return results
+
+
+def write_products(
+    inp: np.ndarray,
+    pred: np.ndarray,
+    out_path: Path,
+    fits_file: Path,
+    exposure: float,
+    hr_exp_ks: float,
+    model_name: str,
+    hdr: dict,
+    plot: bool = True,
+) -> Tuple[Path, Path]:
+    """Write the {input, prediction} WCS FITS product pair (+ optional PNG
+    plots) for one source file (`run_inference_on_file.py:169-199`). Shared
+    by single-file `infer_file` and the batched `cli.py serve` path so both
+    emit identical products."""
     in_name = f"{fits_file.stem.replace('.fits', '')}_input_wcs"
     pred_name = in_name.replace("input", "predict")
     res_mult = pred.shape[0] // inp.shape[0]
