@@ -8,7 +8,8 @@ loss is exactly comparable across epochs), with the paper loss
 (0.5*PSNR + 0.5*MS-SSIM, sqrt scaling tables) and assert the two
 convergence facts the judge asked for:
 
-  * val/loss descends over the run (monotone best, large net drop), and
+  * val/loss descends over the run (non-increasing per-quarter windowed
+    minima, large net drop), and
   * final test metrics BEAT the input baseline (PSNR/SSIM of the raw
     LR input vs HR — reference model.py:90-105 input-metric semantics).
 
@@ -101,9 +102,13 @@ def main() -> None:
 
     first = result.history[0]["val/loss"]
     best = result.best_val_loss
-    # descent evidence: best-so-far val loss over quarters of the run
+    # descent evidence: min val loss within each NON-OVERLAPPING quarter
+    # of the run. (Best-so-far over nested prefixes is non-increasing by
+    # construction and proves nothing; windowed minima actually fail when
+    # the loss rebounds late in the run.)
+    vals = [h["val/loss"] for h in result.history]
     quarters = [
-        min(h["val/loss"] for h in result.history[: max(1, (i + 1) * n // 4)])
+        min(vals[i * n // 4 : max(i * n // 4 + 1, (i + 1) * n // 4)])
         for i in range(4)
     ]
     gains = {}
@@ -123,7 +128,7 @@ def main() -> None:
         "first_val_loss": round(first, 6),
         "best_val_loss": round(best, 6),
         "best_epoch": result.best_step,
-        "best_val_by_quarter": [round(q, 6) for q in quarters],
+        "val_min_by_quarter_window": [round(q, 6) for q in quarters],
         "net_drop_pct": round(100 * (1 - best / first), 2),
         "val_final": {k: round(float(v), 6) for k, v in test_logs.items()},
         "metric_gains_vs_input": gains,

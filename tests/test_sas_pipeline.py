@@ -203,3 +203,31 @@ def test_get_pps_nxsa_offline_error(tmp_path):
     w.mkdir()
     with _pytest.raises(RuntimeError, match="offline|place the PPS"):
         get_pps_nxsa("0000000000", w, opener=opener)
+
+
+def test_get_pps_nxsa_generic_workdir(tmp_path):
+    """A w_dir NOT named after the obsid (e.g. the reference's broken
+    default w_dir=cwd) extracts INSIDE w_dir and indexes
+    w_dir/<obsid>/pps — products never land outside the working dir."""
+    import io
+    import tarfile
+
+    from xmm_superres_denoise_tpu.sas.pipeline import get_pps_nxsa
+
+    obsid = "0200920101"
+    w_dir = tmp_path / "work"
+    w_dir.mkdir()
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name in ("P0OBX000CALIND0.FTZ", "P0PNS003PIEVLI0.FTZ",
+                     "P0PNS003FBKTSR0.FTZ", "P0SCX000ATTTSR0.FTZ"):
+            data = b"\x00" * 8
+            info = tarfile.TarInfo(f"{obsid}/pps/{name}")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    payload = buf.getvalue()
+
+    pps = get_pps_nxsa(obsid, w_dir, skip=True, opener=lambda url: payload)
+    assert pps["pps_dir"] == w_dir / obsid / "pps"
+    assert not (tmp_path / obsid).exists()  # nothing outside w_dir

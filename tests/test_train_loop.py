@@ -256,3 +256,36 @@ def test_transformer_fsdp_fit_and_resume(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_emergency_checkpoint_survives_donated_state(trainer, monkeypatch):
+    """When the crash is the train step itself, the live state's buffers
+    were donated to it and cannot be read back — the emergency path must
+    fall back to the periodic host mirror instead of silently failing."""
+    real_step = trainer._train_step
+    calls = {"n": 0}
+
+    def failing_step(state, batch):
+        if calls["n"] >= 1:
+            # simulate a mid-step crash AFTER the input buffers were
+            # donated: delete them, then raise like an XlaRuntimeError
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            raise RuntimeError("injected step crash (buffers donated)")
+        calls["n"] += 1
+        return real_step(state, batch)
+
+    monkeypatch.setattr(trainer, "_train_step", failing_step)
+    with pytest.raises(RuntimeError, match="injected step crash"):
+        trainer.fit(seed=0)
+    # the host mirror (taken on the first batch) backed the snapshot:
+    # the restored state IS the mirror, bit for bit
+    template = jax.device_get(trainer.init_state(seed=0))
+    restored = trainer.ckpt.restore_emergency(template)
+    assert int(restored.step) > 0
+    for a, e in zip(
+        jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+        jax.tree_util.tree_leaves(trainer._host_snapshot.params),
+    ):
+        np.testing.assert_array_equal(a, e)

@@ -105,9 +105,6 @@ def test_verify_gate_detects_mismatch(tmp_path, monkeypatch):
             jax.tree_util.tree_structure(out), leaves
         )
 
-    monkeypatch.setattr(
-        "xmm_superres_denoise_tpu.infer.verify.__dict__", dict(), raising=False
-    ) if False else None
     monkeypatch.setattr(oi, "import_onnx_params", corrupted)
     report = verify_onnx(
         onnx, ds, mc, default_example_files(limit=1), tol=1e-3, int8=False

@@ -29,10 +29,17 @@ from pathlib import Path
 # Must be set before jax initializes (all jax imports below are lazy).
 # Default is the REPO-LOCAL cache (survives /tmp wipes, shared with
 # bench.py, not cross-user like a fixed /tmp path); env var overrides.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(Path(__file__).resolve().parents[1] / ".jit_cache"),
-)
+# For an INSTALLED package, parents[1] lands in site-packages (read-only
+# in system installs, shared in multi-user ones) — use the per-user
+# cache dir instead.
+def _default_jit_cache() -> str:
+    repo_local = Path(__file__).resolve().parents[1]
+    if repo_local.name != "site-packages" and os.access(repo_local, os.W_OK):
+        return str(repo_local / ".jit_cache")
+    return str(Path.home() / ".cache" / "xmmsr_jit_cache")
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _default_jit_cache())
 
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 

@@ -259,27 +259,41 @@ class InferenceEngine:
         _drain(0)
         return np.concatenate(outs, axis=0)
 
-    def denorm_inputs(
+    def run_tiles(
         self, raw: np.ndarray, batch_size: int = 32
-    ) -> np.ndarray:
-        """(N, H, W) raw rates -> (N, lr_res, lr_res) denormalized padded
-        inputs: the input-product half of `__call__`'s output (mask -> pad
-        -> normalize -> denormalize, NO model) for batch product writing.
-        Pure VPU work; chunked to bound transfer sizes."""
-        if not hasattr(self, "_denorm_in"):
-            nz = self.normalizer
-            prep = self._prep
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Chunked batched serving returning BOTH halves of `__call__`'s
+        output: (N, H, W) -> (predictions, denormalized padded inputs).
 
-            @jax.jit
-            def _d(raw):
-                return nz.denormalize_lr(prep(raw))[..., 0]
+        Same chunking/padding/pipelining as `predict_tiles` but through the
+        two-output `_run` program, so the mask/pad/normalize chain runs
+        ONCE per tile and feeds both the model and the input product
+        (batch product writing, `serve_files`)."""
+        _INFLIGHT = 2
+        n = raw.shape[0]
+        preds: list = []
+        inps: list = []
+        pending: list = []  # ((device_pred, device_inp), valid_count)
 
-            self._denorm_in = _d
-        outs = []
-        for i in range(0, raw.shape[0], batch_size):
-            chunk = jnp.asarray(raw[i : i + batch_size], jnp.float32)
-            outs.append(np.asarray(self._denorm_in(chunk)))
-        return np.concatenate(outs, axis=0)
+        def _drain(limit: int) -> None:
+            while len(pending) > limit:
+                (p, d), k = pending.pop(0)
+                preds.append(np.asarray(p)[:k])
+                inps.append(np.asarray(d)[:k])
+
+        for i in range(0, n, batch_size):
+            chunk = raw[i : i + batch_size]
+            k = chunk.shape[0]
+            if k < batch_size:
+                pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            chunk = jnp.asarray(chunk, jnp.float32)
+            self._ensure_built(chunk)
+            chunk, _ = self._place(chunk)
+            pending.append((self._run(self.params, chunk), k))
+            _drain(_INFLIGHT)
+        _drain(0)
+        return np.concatenate(preds, axis=0), np.concatenate(inps, axis=0)
 
 
 def load_rate_image(fits_file: Path) -> Tuple[np.ndarray, dict, float]:
@@ -342,11 +356,11 @@ def serve_files(
 
     The throughput counterpart of `infer_file`: all inputs are read
     host-side, stacked by native geometry, and run through the engine's
-    pipelined `predict_tiles` (one compiled program per shape group, up to
-    two chunks in flight) instead of one engine call per file. Input
-    products come from `denorm_inputs` — the same mask/pad/normalize/
-    denormalize chain `__call__` applies — and `write_products` emits
-    per-file outputs identical to the single-file path.
+    pipelined `run_tiles` (one compiled two-output program per shape
+    group, up to two chunks in flight, one preprocess pass feeding both
+    the model and the input product) instead of one engine call per
+    file; `write_products` emits per-file outputs identical to the
+    single-file path.
 
     Returns [(input_product, prediction_product), ...] aligned with
     `files`."""
@@ -358,8 +372,7 @@ def serve_files(
     results: list = [None] * len(files)
     for idxs in groups.values():
         stack = np.stack([metas[i][0] for i in idxs])
-        preds = engine.predict_tiles(stack, batch_size=batch_size)
-        inps = engine.denorm_inputs(stack, batch_size=batch_size)
+        preds, inps = engine.run_tiles(stack, batch_size=batch_size)
         for j, i in enumerate(idxs):
             _, hdr, exposure = metas[i]
             results[i] = write_products(

@@ -84,6 +84,11 @@ def verify_onnx(
     int8: bool = True,
 ) -> Dict[str, object]:
     """Run the full gate; returns the report dict (["passed"] overall)."""
+    if not data_files:
+        # a gate with zero images would be vacuously green — refuse
+        raise ValueError(
+            "verify_onnx: data_files is empty — nothing to verify against"
+        )
     cfg = dataset_config
     lr_res = cfg.lr.res
     hr_res = cfg.hr.res if cfg.hr else cfg.lr.res

@@ -77,9 +77,15 @@ def get_pps_nxsa(
 
     `opener(url) -> bytes` is injectable for tests; the default uses
     urllib against the public NXSA AIO endpoint. Zero-egress environments
-    get a clear RuntimeError pointing at the pre-downloaded-PPS path. The
-    tar extracts into `w_dir.parent` (archives carry `<obsid>/pps/...`
-    members, reference behavior) and is deleted unless `keeptar`.
+    get a clear RuntimeError pointing at the pre-downloaded-PPS path.
+
+    Archives carry `<obsid>/pps/...` members. The reference unpacks into
+    `w_dir.parent` and reads `w_dir/pps` — a layout that only resolves
+    when `w_dir` is itself named after the observation (its default
+    `w_dir=cwd` is broken). That working case is preserved exactly;
+    any other `w_dir` extracts INSIDE it and indexes
+    `w_dir/<obsid>/pps`, so the products always land under the
+    requested working dir. The tar is deleted unless `keeptar`.
     """
     import tarfile
     import warnings
@@ -90,7 +96,10 @@ def get_pps_nxsa(
             f"The working dir {w_dir} does not exist. Will use the current dir."
         )
         w_dir = Path(".")
-    pps_dir = w_dir / "pps"
+    if w_dir.name == obs_id:  # reference layout: <...>/<obsid>/pps
+        extract_root, pps_dir = w_dir.parent, w_dir / "pps"
+    else:
+        extract_root, pps_dir = w_dir, w_dir / obs_id / "pps"
 
     if pps_dir.exists() and skip:
         return check_pps_dir(pps_dir)
@@ -121,9 +130,15 @@ def get_pps_nxsa(
             f"Downloaded file from NXSA {tar_path} does not look like tar file."
         )
     with tarfile.open(tar_path, "r") as tar:
-        tar.extractall(path=w_dir.parent, filter="data")
+        tar.extractall(path=extract_root, filter="data")
     if not keeptar:
         tar_path.unlink()
+    if not pps_dir.is_dir():
+        tops = sorted(p.name for p in extract_root.iterdir() if p.is_dir())
+        raise RuntimeError(
+            f"NXSA tar for {obs_id} did not contain {pps_dir} "
+            f"(extracted top-level dirs: {tops})"
+        )
     return check_pps_dir(pps_dir)
 
 

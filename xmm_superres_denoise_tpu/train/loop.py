@@ -45,6 +45,11 @@ from .steps import (
 
 log = logging.getLogger("xmmsr")
 
+# Max staleness of the host-side state mirror backing the emergency
+# checkpoint when the crash is the train step itself (whose input buffers
+# are donated and therefore unreadable afterwards).
+_SNAPSHOT_INTERVAL_S = 60.0
+
 
 def clamped_apply(model, params, x):
     """forward = clamp(model(x), 0, 1) (reference model.py:48-49)."""
@@ -295,6 +300,8 @@ class Trainer:
         input_metrics_pending = True
 
         self._live_state = state
+        self._host_snapshot = None
+        self._host_snapshot_t = 0.0
         try:
             return self._fit_epochs(
                 state, start_epoch, epochs, result, input_metrics_pending
@@ -304,6 +311,12 @@ class Trainer:
             # already; on ANY escaping exception (crash, OOM, interrupt) also
             # snapshot the mid-epoch live state so at most one *batch* of
             # progress is lost, then surface how to resume.
+            #
+            # The live state's buffers are DONATED to the in-flight train
+            # step (steps.py donate_argnums), so when the step itself is
+            # what crashed (OOM, XlaRuntimeError) device_get hits deleted
+            # arrays — fall back to the periodic host-side mirror kept by
+            # `_fit_epochs` (staleness bounded by _SNAPSHOT_INTERVAL_S).
             done = start_epoch + len(result.history)
             epath = None
             try:
@@ -312,12 +325,31 @@ class Trainer:
                         jax.device_get(self._live_state)
                     )
             except Exception:
-                log.exception("emergency checkpoint failed")
-            log.warning(
-                "%s at epoch %d — emergency state saved to %s; resume with "
-                "checkpoint_path set (latest stepped save: %s)",
-                type(e).__name__, done, epath, self.ckpt.latest_step(),
-            )
+                if self._host_snapshot is not None:
+                    try:
+                        epath = self.ckpt.save_emergency(self._host_snapshot)
+                        log.warning(
+                            "live state unavailable (buffers donated to the "
+                            "failed step) — emergency snapshot is the host "
+                            "mirror, up to %.0f s stale",
+                            _SNAPSHOT_INTERVAL_S,
+                        )
+                    except Exception:
+                        log.exception("emergency checkpoint failed")
+                else:
+                    log.exception("emergency checkpoint failed")
+            if epath is not None:
+                log.warning(
+                    "%s at epoch %d — emergency state saved to %s; resume "
+                    "with checkpoint_path set (latest stepped save: %s)",
+                    type(e).__name__, done, epath, self.ckpt.latest_step(),
+                )
+            else:
+                log.warning(
+                    "%s at epoch %d — no emergency snapshot possible; resume "
+                    "from the latest stepped save: %s",
+                    type(e).__name__, done, self.ckpt.latest_step(),
+                )
             raise
 
     def _fit_epochs(self, state, start_epoch, epochs, result,
@@ -329,6 +361,14 @@ class Trainer:
                 state, loss = self._train_step(state, batch)
                 self._live_state = state  # crash-snapshot source (fit())
                 train_losses.append(loss)
+                # Periodic host mirror: the freshest state device_get can
+                # still reach after the NEXT step dispatch donates these
+                # buffers (fit()'s emergency fallback). Time-based so the
+                # sync+transfer cost stays <2% of the step budget.
+                now = time.time()
+                if now - self._host_snapshot_t >= _SNAPSHOT_INTERVAL_S:
+                    self._host_snapshot = jax.device_get(state)
+                    self._host_snapshot_t = now
             train_loss = float(jnp.mean(jnp.stack(train_losses))) if train_losses else float("nan")
 
             val_logs = self._run_eval(
