@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from xmm_superres_denoise_tpu.io import load_fits, read_image, write_image
+from xmm_superres_denoise_tpu.io.fits import read_bintable, write_bintable
 
 REF = Path("/root/reference")
 MASK_1X = REF / "res/detector_mask/pn_mask_500_2000_detxy_1x.ds"
@@ -60,3 +61,93 @@ def test_header_string_and_bool(tmp_path):
     _, hdr = read_image(p)
     assert hdr["TELESCOP"] == "XMM"
     assert hdr["VIGNAPP"] is True
+
+
+@pytest.mark.parametrize("dtype,maxval", [
+    (np.uint8, 255), (np.int16, 32_000), (np.uint16, 60_000),
+    (np.int32, 2**31 - 1), (np.int64, 2**40), (np.uint32, 3_000_000_000),
+    (np.float32, 1.0), (np.float64, 1.0),
+])
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_dtype_sweep(tmp_path, dtype, maxval, gz):
+    """write_image/read_image preserve values exactly for every supported
+    dtype — including unsigned types whose extremes would wrap if written
+    at the same signed width (uint16 60000, uint32 3e9)."""
+    g = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        data = g.uniform(-maxval, maxval, (7, 5)).astype(dtype)
+    else:
+        data = g.integers(0, maxval, (7, 5), endpoint=True).astype(dtype)
+        data.flat[0] = maxval  # force the extreme
+    path = tmp_path / ("img.fits" + (".gz" if gz else ""))
+    write_image(path, data, {"EXPOSURE": 20_000.0})
+    out, hdr = read_image(path)
+    np.testing.assert_array_equal(out, data)
+    assert hdr["EXPOSURE"] == 20_000.0
+
+
+def test_read_bscale_bzero(tmp_path):
+    """Scaled-integer images (BSCALE/BZERO, e.g. astropy-written uint16)
+    decode to physical values."""
+    raw = np.arange(12, dtype=np.int16).reshape(3, 4)
+    path = write_image(tmp_path / "sc.fits", raw)
+    blob = path.read_bytes()
+    # splice BSCALE/BZERO cards before END (header block stays 2880-aligned)
+    hdr_end = blob.index(b"END     ")
+    extra = (
+        "BSCALE  = " + f"{2.0:>20.14G}".ljust(70) +
+        "BZERO   = " + f"{100.0:>20.14G}".ljust(70)
+    ).encode("ascii")
+    spliced = blob[:hdr_end] + extra + blob[hdr_end:]
+    # re-pad: drop the same number of trailing header-pad spaces
+    pad_start = hdr_end + len(extra) + 80
+    spliced = spliced[:pad_start] + spliced[pad_start + len(extra):]
+    out, hdr = read_image(spliced)
+    np.testing.assert_array_equal(out, raw * 2.0 + 100.0)
+
+
+def test_bintable_roundtrip_all_dtypes(tmp_path):
+    """write_bintable/read_bintable roundtrip every supported column type
+    with exact values, TLMIN/TLMAX bounds, and extension selection."""
+    n = 17
+    g = np.random.default_rng(1)
+    cols = {
+        "F64": g.uniform(-1e9, 1e9, n),
+        "F32": g.uniform(-1e3, 1e3, n).astype(np.float32),
+        "I64": g.integers(-(2**40), 2**40, n).astype(np.int64),
+        "I32": g.integers(-(2**31), 2**31 - 1, n).astype(np.int32),
+        "I16": g.integers(-32768, 32767, n).astype(np.int16),
+        "U8": g.integers(0, 255, n, endpoint=True).astype(np.uint8),
+    }
+    path = write_bintable(
+        tmp_path / "tab.fits.gz", cols, extname="MYEXT",
+        header={"ONTIME": 12345.0},
+        column_limits={"I32": (-100, 100)},
+    )
+    out, hdr = read_bintable(path, extname="MYEXT")
+    for k, v in cols.items():
+        np.testing.assert_array_equal(out[k], v)
+    assert hdr["ONTIME"] == 12345.0
+    assert hdr["TLMIN4"] == -100 and hdr["TLMAX4"] == 100
+    with pytest.raises(ValueError):
+        read_bintable(path, extname="NOPE")
+
+
+def test_header_quote_escaping_roundtrip(tmp_path):
+    """String header values containing single quotes survive the FITS
+    quote-doubling encoding."""
+    hdr = {"OBJECT": "Barnard's Loop", "NOTE": "a'b''c"}
+    path = write_image(tmp_path / "q.fits", np.zeros((2, 2), np.float32), hdr)
+    _, out = read_image(path)
+    assert out["OBJECT"] == "Barnard's Loop"
+    assert out["NOTE"] == "a'b''c"
+
+
+def test_multi_dim_image_roundtrip(tmp_path):
+    """3-D cubes keep axis order (NAXIS reversal is symmetric)."""
+    data = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    path = write_image(tmp_path / "cube.fits", data)
+    out, hdr = read_image(path)
+    assert out.shape == (2, 3, 4)
+    np.testing.assert_array_equal(out, data)
+    assert hdr["NAXIS"] == 3 and hdr["NAXIS1"] == 4 and hdr["NAXIS3"] == 2

@@ -431,12 +431,24 @@ def write_image(
     elif data.dtype.kind == "f":
         data = data.astype(np.float32)
         bitpix = -32
-    elif data.dtype.itemsize <= 2 and data.dtype.kind in "iu":
+    elif data.dtype.kind == "u":
+        # unsigned: promote one signed width up so large values survive
+        # (uint16 49k would wrap in int16; FITS integers are signed)
+        if data.dtype.itemsize <= 1:
+            data, bitpix = data.astype(np.int16), 16
+        elif data.dtype.itemsize <= 2:
+            data, bitpix = data.astype(np.int32), 32
+        else:
+            data, bitpix = data.astype(np.int64), 64
+    elif data.dtype.itemsize <= 2:
         data = data.astype(np.int16)
         bitpix = 16
-    else:
+    elif data.dtype.itemsize <= 4:
         data = data.astype(np.int32)
         bitpix = 32
+    else:
+        data = data.astype(np.int64)
+        bitpix = 64
 
     cards = [
         _format_card("SIMPLE", True, "conforms to FITS standard"),
