@@ -137,6 +137,27 @@ def test_end_to_end_event_file_with_fbk(tmp_path):
     assert hdr["INSTRUME"].strip() == "EPN"
 
 
+def test_bin_events_empty_gti_selects_nothing(tmp_path):
+    """An EMPTY GTI table keeps zero events (SAS evselect semantics) —
+    distinct from gti=None which means no time filtering. Host and device
+    paths must agree on this."""
+    path = tmp_path / "events.fits"
+    _write_synthetic_events(path, seed=3)
+    events = load_event_list(path)
+    empty = GTI(np.array([], dtype=float), np.array([], dtype=float))
+
+    host, meta = bin_events(events, empty, device=False)
+    assert host.sum() == 0
+    assert meta["exposure"] == 0.0
+
+    dev, _ = bin_events(events, empty, device=True)
+    np.testing.assert_array_equal(host, dev)
+
+    # gti=None keeps everything band/quality-selected
+    unfiltered, _ = bin_events(events, gti=None)
+    assert unfiltered.sum() > 0
+
+
 def test_device_and_host_binning_agree(tmp_path):
     path = tmp_path / "events.fits"
     cols, _ = _write_synthetic_events(path, seed=7)

@@ -301,7 +301,10 @@ def _event_selection(
         & ((events.flag & np.int32(flag_mask)) == 0)
         & (events.pattern <= pattern_max)
     )
-    if gti is not None and len(gti.start):
+    if gti is not None:
+        # An EMPTY GTI selects zero events (SAS evselect with an empty GTI
+        # table keeps nothing) — the all-False init handles it; only
+        # gti=None means "no time filtering".
         in_gti = np.zeros(events.time.shape, bool)
         for s, e in zip(gti.start, gti.stop):
             in_gti |= (events.time >= s) & (events.time < e)
@@ -447,9 +450,14 @@ def bin_events(
         out[:n] = a
         return out
 
-    if gti is None or len(gti.start) == 0:
+    if gti is None:  # no time filtering: one open interval
         gti_start = np.array([-np.inf])
         gti_stop = np.array([np.inf])
+    elif len(gti.start) == 0:
+        # empty GTI selects ZERO events (matches _event_selection / SAS):
+        # a never-true interval keeps the jitted shape machinery intact
+        gti_start = np.array([np.inf])
+        gti_stop = np.array([-np.inf])
     else:
         gti_start, gti_stop = gti.start, gti.stop
     max_gti = len(gti_start)
