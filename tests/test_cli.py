@@ -315,3 +315,12 @@ def test_cli_serve_batched(tmp_path):
     assert len(preds) == 3
     img, _ = read_image(preds[0])
     assert img.shape == (64, 64)
+
+    # a typo'd pattern must fail fast with rc=2 (no engine build, no
+    # FileNotFoundError traceback from deep inside serving)
+    rc = main([
+        "serve", str(tmp_path / "det*.fist"),
+        "--checkpoint", str(ckpt), "--out", str(tmp_path / "out2"),
+        "--run_config", str(run),
+    ])
+    assert rc == 2

@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from xmm_superres_denoise_tpu.io import load_fits, read_image, write_image
-from xmm_superres_denoise_tpu.io.fits import read_bintable, write_bintable
+from xmm_superres_denoise_tpu.io.fits import (
+    _format_card,
+    read_bintable,
+    write_bintable,
+)
 
 REF = Path("/root/reference")
 MASK_1X = REF / "res/detector_mask/pn_mask_500_2000_detxy_1x.ds"
@@ -104,6 +108,51 @@ def test_read_bscale_bzero(tmp_path):
     spliced = spliced[:pad_start] + spliced[pad_start + len(extra):]
     out, hdr = read_image(spliced)
     np.testing.assert_array_equal(out, raw * 2.0 + 100.0)
+
+
+def test_uint64_roundtrip_bzero_convention(tmp_path):
+    """uint64 has no wider signed FITS type: values >= 2^63 must survive via
+    the standard unsigned convention (BITPIX 64, BZERO = 2^63) instead of
+    silently wrapping negative in int64."""
+    data = np.array([[0, 5], [2**63 + 5, 2**64 - 1]], np.uint64)
+    path = write_image(tmp_path / "u64.fits", data)
+    out, hdr = read_image(path)
+    assert hdr["BZERO"] == 2**63
+    assert out.dtype.kind == "u" and out.dtype.itemsize == 8
+    np.testing.assert_array_equal(out, data)
+
+
+def test_read_integer_bzero_unsigned_convention(tmp_path):
+    """Real XMM products encode uint16 as int16 + BZERO=32768 (integer
+    cards). NumPy 2 raises OverflowError on `int16_array + 32768`, so the
+    reader must take the exact unsigned-convention path."""
+    u16 = np.array([[0, 49_000], [65_535, 1]], np.uint16)
+    stored = (u16 ^ np.uint16(1 << 15)).view(np.int16)
+    path = write_image(tmp_path / "raw.fits", stored)
+    blob = path.read_bytes()
+    hdr_end = blob.index(b"END     ")
+    extra = _format_card("BZERO", 32768, "").encode("ascii")
+    spliced = blob[:hdr_end] + extra + blob[hdr_end:]
+    pad_start = hdr_end + len(extra) + 80
+    spliced = spliced[:pad_start] + spliced[pad_start + len(extra):]
+    out, _ = read_image(spliced)
+    assert out.dtype.kind == "u"
+    np.testing.assert_array_equal(out, u16)
+
+
+def test_write_drops_stale_scaling_cards(tmp_path):
+    """write_image receives PHYSICAL values; BSCALE/BZERO inherited from a
+    source header must not be re-emitted (they would be applied a second
+    time by the next reader)."""
+    phys = np.array([[10, 20], [30, 40]], np.int32)
+    path = write_image(
+        tmp_path / "p.fits", phys,
+        header={"BZERO": 32768, "BSCALE": 2, "EXPOSURE": 20_000.0},
+    )
+    out, hdr = read_image(path)
+    np.testing.assert_array_equal(out, phys)
+    assert "BZERO" not in hdr and "BSCALE" not in hdr
+    assert hdr["EXPOSURE"] == 20_000.0
 
 
 def test_bintable_roundtrip_all_dtypes(tmp_path):

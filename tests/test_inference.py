@@ -375,17 +375,18 @@ def test_serve_files_matches_single_file_path(tmp_path):
     for i in range(3):
         d = tmp_path / f"f{i}"
         d.mkdir()
-        p = _write_detxy(d, seed=i)
-        # distinct basenames so batched products don't collide in one out dir
-        q = p.with_name(f"det{i}_{p.name}")
-        p.rename(q)
-        files.append(q)
+        # identical basenames across directories: serve_files must
+        # disambiguate product stems instead of clobbering (obsA/img.fits
+        # and obsB/img.fits into one --out dir)
+        files.append(_write_detxy(d, seed=i))
 
     served = serve_files(
         files, engine, tmp_path / "served", hr_exp_ks=100.0,
         model_name="esr_gen", batch_size=2, plot=False,
     )
     assert len(served) == 3
+    all_products = [p for pair in served for p in pair]
+    assert len(set(all_products)) == len(all_products), all_products
     for f, (s_in, s_pred) in zip(files, served):
         r_in, r_pred = infer_file(
             f, engine, tmp_path / "single" / f.parent.name,

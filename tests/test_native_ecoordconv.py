@@ -208,6 +208,8 @@ def test_sky_image_product(tmp_path):
     hdr = sky_wcs_header(smeta, prods["header"])
     assert hdr["CTYPE1"] == "RA---TAN"
     np.testing.assert_allclose(hdr["CRVAL1"], 187.701875)
-    # pointing pixel 25921 -> binned pixel (25921 - 1)/80 + 0.5 = 324.5
-    np.testing.assert_allclose(hdr["CRPIX1"], (25921 - 1) / 80 + 0.5)
+    # pointing pixel 25921 -> binned pixel (25921 - 1 - 79/2)/80 + 1
+    # = 324.50625 (binned pixel p covers unbinned [x0+(p-1)b-0.5,
+    # x0+pb-0.5): the continuous map carries a half-unbinned-pixel term)
+    np.testing.assert_allclose(hdr["CRPIX1"], (25921 - 1 - 79 / 2) / 80 + 1)
     np.testing.assert_allclose(hdr["CDELT1"], -80 * 1.38888888888889e-05)

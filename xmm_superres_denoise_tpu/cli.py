@@ -34,7 +34,8 @@ from pathlib import Path
 # cache dir instead.
 def _default_jit_cache() -> str:
     repo_local = Path(__file__).resolve().parents[1]
-    if repo_local.name != "site-packages" and os.access(repo_local, os.W_OK):
+    installed = repo_local.name in ("site-packages", "dist-packages")
+    if not installed and os.access(repo_local, os.W_OK):
         return str(repo_local / ".jit_cache")
     return str(Path.home() / ".cache" / "xmmsr_jit_cache")
 
@@ -232,11 +233,17 @@ def cmd_serve(args) -> int:
     from .infer.run_file import serve_files
 
     files: list = []
+    unmatched: list = []
     for pat in args.fits:
         hits = sorted(_glob.glob(str(pat)))
-        files.extend(hits if hits else [pat])
-    if not files:
-        log.error("serve: no input files matched %s", args.fits)
+        if hits:
+            files.extend(hits)
+        elif Path(pat).exists():  # literal path containing glob metachars
+            files.append(pat)
+        else:
+            unmatched.append(str(pat))
+    if unmatched or not files:
+        log.error("serve: no input files matched %s", unmatched or args.fits)
         return 2
     engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
     results = serve_files(

@@ -219,31 +219,30 @@ class InferenceEngine:
         pred, inp = np.asarray(pred)[:valid], np.asarray(inp)[:valid]
         return (pred[0], inp[0]) if single else (pred, inp)
 
-    def predict_tiles(
-        self, raw: np.ndarray, batch_size: int = 32
-    ) -> np.ndarray:
-        """Chunked batched serving: (N, H, W) -> (N, H', W') predictions.
+    # Pipeline chunks through JAX's async dispatch: keep up to _INFLIGHT
+    # device programs queued ahead of the host readback so chunk i+1's
+    # upload+compute overlaps chunk i's device->host transfer instead of
+    # serializing on np.asarray (~110 MB HBM per in-flight chunk:
+    # 32 x (416^2 in + 832^2 out) fp32).
+    _INFLIGHT = 2
 
-        Splits a large stack into `batch_size` chunks (the measured
-        throughput sweet spot, docs/SERVING.md), padding the tail chunk by
-        repeating its last tile so every device program has the same shape
-        (ONE compilation) and trimming afterwards. Runs the
-        predictions-only jit: the denormalized input `__call__` also
-        returns is never computed or transferred here."""
+    def _tiles_pipeline(self, raw, batch_size, runner, n_out):
+        """Shared chunk/pad/pipeline loop behind `predict_tiles` and
+        `run_tiles`: splits (N, ...) into `batch_size` chunks, pads the
+        tail chunk by repeating its last tile so every device program has
+        the same shape (ONE compilation), trims afterwards. Returns a
+        tuple of `n_out` concatenated host arrays."""
         n = raw.shape[0]
-        outs: list = []
-        # Pipeline chunks through JAX's async dispatch: keep up to
-        # _INFLIGHT device programs queued ahead of the host readback so
-        # chunk i+1's upload+compute overlaps chunk i's device->host
-        # transfer instead of serializing on np.asarray (~110 MB HBM per
-        # in-flight chunk: 32 x (416^2 in + 832^2 out) fp32).
-        _INFLIGHT = 2
-        pending: list = []  # (device_pred, valid_count)
+        outs = tuple([] for _ in range(n_out))
+        pending: list = []  # (device result(s), valid_count)
 
         def _drain(limit: int) -> None:
             while len(pending) > limit:
-                pred, k = pending.pop(0)
-                outs.append(np.asarray(pred)[:k])
+                res, k = pending.pop(0)
+                if n_out == 1:
+                    res = (res,)
+                for lst, dev in zip(outs, res):
+                    lst.append(np.asarray(dev)[:k])
 
         for i in range(0, n, batch_size):
             chunk = raw[i : i + batch_size]
@@ -254,10 +253,22 @@ class InferenceEngine:
             chunk = jnp.asarray(chunk, jnp.float32)
             self._ensure_built(chunk)
             chunk, _ = self._place(chunk)
-            pending.append((self._run_pred(self.params, chunk), k))
-            _drain(_INFLIGHT)
+            pending.append((runner(self.params, chunk), k))
+            _drain(self._INFLIGHT)
         _drain(0)
-        return np.concatenate(outs, axis=0)
+        return tuple(np.concatenate(lst, axis=0) for lst in outs)
+
+    def predict_tiles(
+        self, raw: np.ndarray, batch_size: int = 32
+    ) -> np.ndarray:
+        """Chunked batched serving: (N, H, W) -> (N, H', W') predictions.
+
+        `batch_size` chunks are the measured throughput sweet spot
+        (docs/SERVING.md). Runs the predictions-only jit: the denormalized
+        input `__call__` also returns is never computed or transferred."""
+        return self._tiles_pipeline(
+            raw, batch_size, lambda p, x: self._run_pred(p, x), 1
+        )[0]
 
     def run_tiles(
         self, raw: np.ndarray, batch_size: int = 32
@@ -269,31 +280,9 @@ class InferenceEngine:
         two-output `_run` program, so the mask/pad/normalize chain runs
         ONCE per tile and feeds both the model and the input product
         (batch product writing, `serve_files`)."""
-        _INFLIGHT = 2
-        n = raw.shape[0]
-        preds: list = []
-        inps: list = []
-        pending: list = []  # ((device_pred, device_inp), valid_count)
-
-        def _drain(limit: int) -> None:
-            while len(pending) > limit:
-                (p, d), k = pending.pop(0)
-                preds.append(np.asarray(p)[:k])
-                inps.append(np.asarray(d)[:k])
-
-        for i in range(0, n, batch_size):
-            chunk = raw[i : i + batch_size]
-            k = chunk.shape[0]
-            if k < batch_size:
-                pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            chunk = jnp.asarray(chunk, jnp.float32)
-            self._ensure_built(chunk)
-            chunk, _ = self._place(chunk)
-            pending.append((self._run(self.params, chunk), k))
-            _drain(_INFLIGHT)
-        _drain(0)
-        return np.concatenate(preds, axis=0), np.concatenate(inps, axis=0)
+        return self._tiles_pipeline(
+            raw, batch_size, lambda p, x: self._run(p, x), 2
+        )
 
 
 def load_rate_image(fits_file: Path) -> Tuple[np.ndarray, dict, float]:
@@ -362,23 +351,46 @@ def serve_files(
     file; `write_products` emits per-file outputs identical to the
     single-file path.
 
+    Memory is bounded: inputs are re-read per sub-batch (a few chunks at a
+    time) and products are written before the next sub-batch runs, so a
+    10k-file batch never holds 10k images or predictions on the host.
+
     Returns [(input_product, prediction_product), ...] aligned with
     `files`."""
     files = [Path(f) for f in files]
-    metas = [load_rate_image(f) for f in files]
+
+    # Distinct product stems even when inputs from different directories
+    # share a basename (obsA/img.fits + obsB/img.fits must not clobber
+    # each other's products in the single --out directory).
+    bases = [f.stem.replace(".fits", "") for f in files]
+    seen: dict = {}
+    stems: list = []
+    for b in bases:
+        k = seen.get(b, 0)
+        seen[b] = k + 1
+        stems.append(b if k == 0 else f"{b}__{k + 1}")
+
+    # pass 1: geometry only — group by native shape, O(1) held at once
     groups: dict = {}
-    for idx, (rate, _, _) in enumerate(metas):
-        groups.setdefault(rate.shape, []).append(idx)
+    for idx, f in enumerate(files):
+        img, _ = read_image(f)
+        groups.setdefault(img.shape, []).append(idx)
+
     results: list = [None] * len(files)
+    sub_cap = batch_size * 4  # a few pipelined chunks per resident stack
     for idxs in groups.values():
-        stack = np.stack([metas[i][0] for i in idxs])
-        preds, inps = engine.run_tiles(stack, batch_size=batch_size)
-        for j, i in enumerate(idxs):
-            _, hdr, exposure = metas[i]
-            results[i] = write_products(
-                inps[j], preds[j], out_path, files[i], exposure,
-                hr_exp_ks, model_name, hdr, plot=plot,
-            )
+        for s in range(0, len(idxs), sub_cap):
+            sub = idxs[s : s + sub_cap]
+            metas = [load_rate_image(files[i]) for i in sub]
+            stack = np.stack([m[0] for m in metas])
+            preds, inps = engine.run_tiles(stack, batch_size=batch_size)
+            for j, i in enumerate(sub):
+                _, hdr, exposure = metas[j]
+                results[i] = write_products(
+                    inps[j], preds[j], out_path, files[i], exposure,
+                    hr_exp_ks, model_name, hdr, plot=plot,
+                    out_stem=stems[i],
+                )
     return results
 
 
@@ -392,12 +404,14 @@ def write_products(
     model_name: str,
     hdr: dict,
     plot: bool = True,
+    out_stem: Optional[str] = None,
 ) -> Tuple[Path, Path]:
     """Write the {input, prediction} WCS FITS product pair (+ optional PNG
     plots) for one source file (`run_inference_on_file.py:169-199`). Shared
     by single-file `infer_file` and the batched `cli.py serve` path so both
-    emit identical products."""
-    in_name = f"{fits_file.stem.replace('.fits', '')}_input_wcs"
+    emit identical products. `out_stem` overrides the product stem (the
+    batched path disambiguates colliding basenames with it)."""
+    in_name = f"{out_stem or fits_file.stem.replace('.fits', '')}_input_wcs"
     pred_name = in_name.replace("input", "predict")
     res_mult = pred.shape[0] // inp.shape[0]
 
@@ -417,18 +431,24 @@ def write_products(
     )
 
     if plot:
-        _save_plots(p_in, p_pred, out_path)
+        # single-file path keeps the reference's fixed plot names
+        # (run_inference_on_file.py:89,98); the batched path prefixes with
+        # the (collision-free) product stem so plots don't clobber.
+        _save_plots(p_in, p_pred, out_path,
+                    prefix=f"{out_stem}_" if out_stem else "")
     return p_in, p_pred
 
 
-def _save_plots(p_in: Path, p_pred: Path, out: Path) -> None:
+def _save_plots(p_in: Path, p_pred: Path, out: Path, prefix: str = "") -> None:
     """99.5-percentile plasma plots (run_inference_on_file.py:75-98)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    for path, name in ((p_in, "plot_in.png"), (p_pred, "plot_out.png")):
+    for path, name in (
+        (p_in, f"{prefix}plot_in.png"), (p_pred, f"{prefix}plot_out.png")
+    ):
         img, _ = read_image(path)
         finite = img[np.isfinite(img)]
         lo, hi = np.percentile(finite, [0.25, 99.75])

@@ -203,7 +203,20 @@ def _image_from(hdr: Header, raw: bytes) -> np.ndarray:
     bscale = hdr.get("BSCALE", 1)
     bzero = hdr.get("BZERO", 0)
     if bscale != 1 or bzero != 0:
-        arr = arr * bscale + bzero
+        nbits = 8 * arr.dtype.itemsize
+        if arr.dtype.kind == "i" and bscale == 1 and bzero == 1 << (nbits - 1):
+            # FITS unsigned-integer convention (stored = value - 2^(n-1)):
+            # recover exactly in the matching unsigned dtype. The generic
+            # `arr + bzero` would raise OverflowError under NumPy 2 (the
+            # python int doesn't fit the array dtype) — this is how real
+            # XMM uint16-as-int16 products are encoded.
+            udt = np.dtype(f"u{arr.dtype.itemsize}").newbyteorder(
+                arr.dtype.byteorder
+            )
+            u = arr.view(udt)
+            arr = u + np.asarray(bzero, udt)  # wraps mod 2^n -> value
+        else:
+            arr = arr * np.float64(bscale) + np.float64(bzero)
     return arr
 
 
@@ -426,6 +439,7 @@ def write_image(
         raise FileExistsError(path)
 
     data = np.asarray(data)
+    out_bzero = 0
     if data.dtype == np.float64:
         bitpix = -64
     elif data.dtype.kind == "f":
@@ -433,13 +447,18 @@ def write_image(
         bitpix = -32
     elif data.dtype.kind == "u":
         # unsigned: promote one signed width up so large values survive
-        # (uint16 49k would wrap in int16; FITS integers are signed)
+        # (uint16 49k would wrap in int16; FITS integers are signed).
+        # uint64 has no wider signed type: use the FITS unsigned convention
+        # (BZERO = 2^63, stored = value - 2^63) so values >= 2^63 survive.
         if data.dtype.itemsize <= 1:
             data, bitpix = data.astype(np.int16), 16
         elif data.dtype.itemsize <= 2:
             data, bitpix = data.astype(np.int32), 32
-        else:
+        elif data.dtype.itemsize <= 4:
             data, bitpix = data.astype(np.int64), 64
+        else:
+            data = (data.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+            bitpix, out_bzero = 64, 1 << 63
     elif data.dtype.itemsize <= 2:
         data = data.astype(np.int16)
         bitpix = 16
@@ -463,7 +482,15 @@ def write_image(
             ku = str(k).upper()[:8]
             if ku in ("SIMPLE", "BITPIX", "NAXIS") or ku.startswith("NAXIS"):
                 continue
+            if ku in ("BSCALE", "BZERO"):
+                # `data` holds physical values; a scaling card inherited from
+                # a source header would be applied AGAIN on the next read.
+                continue
             cards.append(_format_card(ku, v, comments.get(k, "")))
+    if out_bzero:
+        cards.append(
+            _format_card("BZERO", out_bzero, "unsigned-integer offset")
+        )
     cards.append("END".ljust(CARD))
 
     htext = "".join(cards)

@@ -394,8 +394,16 @@ def sky_wcs_header(meta: Dict[str, float], in_header: Header) -> Header:
         hdr["CTYPE2"] = "DEC--TAN"
         hdr["CRVAL1"] = float(in_header["REFXCRVL"])
         hdr["CRVAL2"] = float(in_header["REFYCRVL"])
-        hdr["CRPIX1"] = (float(in_header["REFXCRPX"]) - meta["x0"]) / b + 0.5
-        hdr["CRPIX2"] = (float(in_header["REFYCRPX"]) - meta["y0"]) / b + 0.5
+        # Binned pixel p (1-based) covers unbinned coords
+        # [x0 + (p-1)b - 0.5, x0 + pb - 0.5), so the continuous mapping is
+        # P(u) = (u - x0 - (b-1)/2)/b + 1 — the same convention as the
+        # detxy product's logical-coordinate keywords (io/wcs.py).
+        hdr["CRPIX1"] = (
+            float(in_header["REFXCRPX"]) - meta["x0"] - (b - 1.0) / 2.0
+        ) / b + 1.0
+        hdr["CRPIX2"] = (
+            float(in_header["REFYCRPX"]) - meta["y0"] - (b - 1.0) / 2.0
+        ) / b + 1.0
         hdr["CDELT1"] = b * float(in_header["REFXCDLT"])
         hdr["CDELT2"] = b * float(in_header["REFYCDLT"])
         hdr["CUNIT1"] = "deg"

@@ -125,14 +125,19 @@ def get_pps_nxsa(
             "environment place the PPS products under "
             f"{pps_dir} and rerun."
         ) from e
-    if not tarfile.is_tarfile(tar_path):
-        raise RuntimeError(
-            f"Downloaded file from NXSA {tar_path} does not look like tar file."
-        )
-    with tarfile.open(tar_path, "r") as tar:
-        tar.extractall(path=extract_root, filter="data")
-    if not keeptar:
-        tar_path.unlink()
+    try:
+        if not tarfile.is_tarfile(tar_path):
+            raise RuntimeError(
+                f"Downloaded file from NXSA {tar_path} does not look like "
+                "tar file."
+            )
+        with tarfile.open(tar_path, "r") as tar:
+            tar.extractall(path=extract_root, filter="data")
+    finally:
+        # delete-unless-keeptar holds on the failure paths too (an HTML
+        # error page or a truncated multi-GB tar must not linger)
+        if not keeptar and tar_path.exists():
+            tar_path.unlink()
     if not pps_dir.is_dir():
         tops = sorted(p.name for p in extract_root.iterdir() if p.is_dir())
         raise RuntimeError(
