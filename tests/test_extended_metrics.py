@@ -155,3 +155,24 @@ def test_fsim_matches_numpy_oracle():
         j = float(fsim_per_image(jnp.asarray(xn), jnp.asarray(noisy))[0])
         o = float(fsim_oracle(xn, noisy)[0])
         assert abs(j - o) <= 1e-5
+
+
+def test_mixed_parity_dims_do_not_crash():
+    """_avg_pool2 must pad H and W independently: a (5, 4) image (one odd,
+    one even dim — e.g. any odd-height eval crop) crashed the reshape when
+    both dims were padded by max(ph, pw)."""
+    from xmm_superres_denoise_tpu.metrics.extended import (
+        _avg_pool2,
+        gmsd_per_image,
+        haarpsi_per_image,
+        ms_gmsd_per_image,
+    )
+
+    g = np.random.default_rng(0)
+    p = jnp.asarray(g.uniform(0, 1, (2, 37, 44, 1)).astype(np.float32))
+    t = jnp.asarray(g.uniform(0, 1, (2, 37, 44, 1)).astype(np.float32))
+    pooled = _avg_pool2(jnp.asarray(g.uniform(0, 1, (1, 5, 4, 1))))
+    assert pooled.shape == (1, 3, 2, 1)
+    for fn in (gmsd_per_image, ms_gmsd_per_image, haarpsi_per_image):
+        out = fn(p, t)
+        assert out.shape == (2,) and bool(jnp.isfinite(out).all()), fn.__name__

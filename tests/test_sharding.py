@@ -148,3 +148,58 @@ def test_eval_loss_invariant_to_padding():
         ]
     )
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_mean_metrics_invariant_to_device_count():
+    """poisson + the extended metrics accumulate one GLOBAL batch-mean per
+    update: reported values must be identical on a 1-device and an 8-device
+    data mesh (regression: shard-local means were psum'd, scaling the value
+    ~linearly with the device count)."""
+    from xmm_superres_denoise_tpu.metrics.collection import MetricBank
+    from xmm_superres_denoise_tpu.metrics.extended import (
+        register_extended_metrics,
+    )
+    from xmm_superres_denoise_tpu.train import make_eval_step
+
+    register_extended_metrics()
+    loss_fn = create_loss(None, LossCfg(l1=0.5, psnr=0.25, ssim=0.25))
+
+    def apply(params, lr):
+        return jnp.clip(lr * 0.9 + 0.01, 0.0, 1.0)
+
+    bank = MetricBank(("poisson", "gmsd", "ssim", "psnr"))
+    g = np.random.default_rng(3)
+    lr = g.uniform(0.1, 0.9, (8, 32, 32, 1)).astype(np.float32)
+    hr = g.uniform(0.1, 0.9, (8, 32, 32, 1)).astype(np.float32)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(data=n_dev)
+        step = make_eval_step(
+            apply, loss_fn, mesh, metric_updaters={"m": bank.update}
+        )
+        batch = shard_batch(
+            mesh,
+            {
+                "lr": jnp.asarray(lr),
+                "hr": jnp.asarray(hr),
+                "weight": jnp.ones((8,), jnp.float32),
+            },
+        )
+        states, _, _ = step({}, {"m": replicate(mesh, bank.init())}, batch)
+        results[n_dev] = {
+            k: float(v) for k, v in bank.compute(states["m"]).items()
+        }
+
+    for name in results[1]:
+        np.testing.assert_allclose(
+            results[8][name], results[1][name], rtol=1e-5,
+            err_msg=f"{name} depends on the device count",
+        )
+
+    # the 1-device path equals a plain host-side bank update (parity anchor)
+    direct = bank.compute(
+        bank.update(bank.init(), apply({}, jnp.asarray(lr)), jnp.asarray(hr))
+    )
+    for name, v in direct.items():
+        np.testing.assert_allclose(results[1][name], float(v), rtol=1e-5)

@@ -289,3 +289,73 @@ def test_emergency_checkpoint_survives_donated_state(trainer, monkeypatch):
         jax.tree_util.tree_leaves(trainer._host_snapshot.params),
     ):
         np.testing.assert_array_equal(a, e)
+
+
+def test_checkpoint_retention_keeps_latest(tmp_path):
+    """Once val/loss starts worsening, new steps must still be retained:
+    best_fn-only retention (BestN without LatestN) deleted every post-best
+    save right after it landed, so resume-from-latest silently rewound to
+    the best epoch (regression)."""
+    import jax.numpy as jnp
+    import optax
+
+    from xmm_superres_denoise_tpu.train.checkpoints import CheckpointManager
+    from xmm_superres_denoise_tpu.train.steps import TrainState
+
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
+    state = TrainState.create({"w": jnp.zeros((2,))}, optax.adam(1e-3))
+    losses = [5.0, 1.0, 2.0, 3.0, 4.0]  # best at step 1, worsening after
+    for step, vl in enumerate(losses):
+        mgr.save(step, state, vl)
+    assert mgr.latest_step() == 4, "latest save must survive retention"
+    _, restored_step = mgr.restore(state)
+    assert restored_step == 4
+    _, best_step = mgr.restore_best(state)
+    assert best_step == 1
+    mgr.close()
+
+
+def test_params_npz_handles_list_pytrees(tmp_path):
+    """npz export/import must stringify non-dict keypath entries (list index
+    SequenceKey.idx is an int; '/'.join crashed on it)."""
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.train.checkpoints import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    tree = {
+        "blocks": [{"w": jnp.full((2, 2), 3.0)}, {"w": jnp.full((2, 2), 7.0)}],
+        "bias": jnp.ones((3,)),
+    }
+    p = tmp_path / "params.npz"
+    save_params_npz(p, tree)
+    back = load_params_npz(p, tree)
+    np.testing.assert_array_equal(np.asarray(back["blocks"][1]["w"]), 7.0)
+    np.testing.assert_array_equal(np.asarray(back["bias"]), 1.0)
+
+
+def test_loader_reproducible_and_thread_cleanup(trainer, tmp_path):
+    """Same seed -> identical shuffle order across interpreter salts (the
+    split token must not come from hash()), and an abandoned loader must
+    release its producer thread instead of parking on a full queue."""
+    import threading
+
+    dm = trainer.dm
+    a = [np.asarray(b["lr"]).sum() for b in dm.loader("train", epoch=1)]
+    b = [np.asarray(b["lr"]).sum() for b in dm.loader("train", epoch=1)]
+    np.testing.assert_allclose(a, b)
+    c = [np.asarray(b["lr"]).sum() for b in dm.loader("train", epoch=2)]
+    assert not np.allclose(a, c), "different epochs should reshuffle"
+
+    before = threading.active_count()
+    gen = dm.loader("train", epoch=3)
+    next(gen)
+    gen.close()  # abandon mid-epoch (simulates a crashed train step)
+    import time
+
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"

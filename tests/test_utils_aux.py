@@ -145,3 +145,41 @@ def test_write_xmm_product_sim_centered_wcs(tmp_path):
     _, h2 = read_image(p2)
     assert h2["CRPIX1"] == 487.5 and h2["CRPIX2"] == 447.5
     np.testing.assert_allclose(h2["CDELT2"], 0.00111111113801599 / 2, rtol=1e-12)
+
+
+def test_display_batch_cached_and_rng_preserved(tmp_path):
+    """The display batch is composed ONCE (panels comparable across epochs)
+    and must not consume draws from the dataset's shared rng (regression:
+    per-epoch re-sampling changed both the panels and the training sample
+    sequence whenever image logging was enabled)."""
+    import numpy as np
+
+    from xmm_superres_denoise_tpu.data.display import XmmDisplayDataModule
+
+    class _StochasticDataset:
+        def __init__(self):
+            self.rng = np.random.default_rng(7)
+            self.calls = 0
+
+        def __getitem__(self, i):
+            self.calls += 1
+            # consumes the shared rng like XmmDataset's AGN/bkg picks
+            img = self.rng.uniform(0, 1, (1, 8, 8)).astype(np.float32)
+            return img, img.copy()
+
+    class _DM:
+        dataset = _StochasticDataset()
+
+    dm = _DM()
+    disp = XmmDisplayDataModule.__new__(XmmDisplayDataModule)
+    disp.dm = dm
+    disp.indices = [0, 1]
+    disp._cached = None
+
+    state_before = dm.dataset.rng.bit_generator.state
+    b1 = disp.display_batch()
+    # shared rng untouched (display used a private one)
+    assert dm.dataset.rng.bit_generator.state == state_before
+    b2 = disp.display_batch()
+    np.testing.assert_array_equal(b1["lr"], b2["lr"])
+    assert dm.dataset.calls == 2, "second call must hit the cache"

@@ -92,7 +92,7 @@ def _build_trainer(args):
     from .train.loss import create_loss
 
     ds_cfg, m_cfg, t_cfg, sc_dict, l_cfg = load_run_config(args.run_config)
-    dm = XmmDataModule(ds_cfg, seed=t_cfg.seed)
+    dm = XmmDataModule(ds_cfg, seed=t_cfg.seed, boring_size=ds_cfg.boring_size)
     loss = create_loss(sc_dict, l_cfg)
     scaling_normalizers = [
         Normalizer(

@@ -109,6 +109,9 @@ class DatasetCfg(BaseModel):
     name: str = "sim_dataset"
     scaling: Literal["linear", "sqrt", "asinh", "log"] = "sqrt"
     type: DatasetType = DatasetType.SIM
+    # synthetic fake-backend size; the reference hardcodes 10000
+    # (dataset.py:63) — configurable here so CLI smoke runs stay small
+    boring_size: PositiveInt = 10000
     lr: LrDatasetCfg
     hr: Optional[HrDatasetCfg] = None
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import zlib
 from pathlib import Path
 from typing import Dict, Iterator, Optional
 
@@ -179,40 +180,65 @@ class XmmDataModule:
         batch_size = batch_size or self.config.batch_size
         if shuffle is None:
             shuffle = split == "train"
-        rng = np.random.default_rng((self.seed, epoch, hash(split) & 0xFFFF))
+        # NOT hash(split): str hashes are salted per interpreter run
+        # (PYTHONHASHSEED), which would make the shuffle irreproducible and,
+        # worse, give each HOST of a multi-host run a different permutation.
+        split_token = zlib.crc32(split.encode("utf-8")) & 0xFFFF
+        rng = np.random.default_rng((self.seed, epoch, split_token))
         from ..parallel.mesh import DATA_AXIS
 
         n_shards = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for hb in self._host_batches(split, batch_size, shuffle, rng):
-                    q.put(hb)
+                    # bounded put + shutdown flag: if the consumer abandons
+                    # the generator mid-epoch (exception in the train step),
+                    # a plain q.put would park this thread forever on the
+                    # full queue, stranding it plus `prefetch` decoded
+                    # batches per fit attempt.
+                    while not abandoned.is_set():
+                        try:
+                            q.put(hb, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
-                q.put(_SENTINEL)
+                while not abandoned.is_set():
+                    try:
+                        q.put(_SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
         sharding = batch_sharding(mesh) if mesh is not None else None
-        while True:
-            hb = q.get()
-            if hb is _SENTINEL:
-                break
-            hb, valid = pad_batch_to_devices(hb, n_shards)
-            b = hb["lr"].shape[0]
-            weight = (np.arange(b) < valid).astype(np.float32)
-            dev = {"lr": hb["lr"], "weight": weight}
-            if "hr" in hb:
-                dev["hr"] = hb["hr"]
-            if sharding is not None:
-                dev = {
-                    k: jax.device_put(v, sharding) for k, v in dev.items()
-                }
-            lr, hr = self._prep(dev["lr"], dev.get("hr"))
-            out = {"lr": lr, "weight": jnp.asarray(dev["weight"])}
-            out["hr"] = hr if hr is not None else lr
-            yield out
+        try:
+            while True:
+                hb = q.get()
+                if hb is _SENTINEL:
+                    break
+                hb, valid = pad_batch_to_devices(hb, n_shards)
+                b = hb["lr"].shape[0]
+                weight = (np.arange(b) < valid).astype(np.float32)
+                dev = {"lr": hb["lr"], "weight": weight}
+                if "hr" in hb:
+                    dev["hr"] = hb["hr"]
+                if sharding is not None:
+                    dev = {
+                        k: jax.device_put(v, sharding) for k, v in dev.items()
+                    }
+                lr, hr = self._prep(dev["lr"], dev.get("hr"))
+                out = {"lr": lr, "weight": jnp.asarray(dev["weight"])}
+                out["hr"] = hr if hr is not None else lr
+                yield out
+        finally:
+            abandoned.set()

@@ -33,18 +33,36 @@ class XmmDisplayDataModule:
             indices = list(map(int, pool[: num_images]))
         self.indices = indices
 
+    _cached: Optional[Dict[str, np.ndarray]] = None
+
     def display_batch(self) -> Dict[str, np.ndarray]:
         """Raw host batch of the pinned samples, NHWC (un-normalized for raw
-        geometry datasets; the caller runs the datamodule's device prep)."""
-        lrs, hrs = [], []
-        for i in self.indices:
-            lr, hr = self.dm.dataset[int(i)]
-            lrs.append(lr.transpose(1, 2, 0))
-            if hr is not None:
-                hrs.append(hr.transpose(1, 2, 0))
+        geometry datasets; the caller runs the datamodule's device prep).
+
+        Loaded ONCE and cached: XmmDataset composites draw random AGN/
+        background picks from the dataset's shared rng, so re-sampling per
+        epoch would both render different composites (panels would not be
+        comparable across training) and perturb the training sample
+        sequence. The one-time load uses a private rng for the same reason."""
+        if self._cached is not None:
+            return self._cached
+        ds_rng = getattr(self.dm.dataset, "rng", None)
+        if ds_rng is not None:
+            self.dm.dataset.rng = np.random.default_rng(1234)
+        try:
+            lrs, hrs = [], []
+            for i in self.indices:
+                lr, hr = self.dm.dataset[int(i)]
+                lrs.append(lr.transpose(1, 2, 0))
+                if hr is not None:
+                    hrs.append(hr.transpose(1, 2, 0))
+        finally:
+            if ds_rng is not None:
+                self.dm.dataset.rng = ds_rng
         out = {"lr": np.stack(lrs)}
         if hrs:
             out["hr"] = np.stack(hrs)
+        self._cached = out
         return out
 
     def prepared_batch(self):

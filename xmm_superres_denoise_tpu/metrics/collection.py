@@ -14,9 +14,18 @@ Accumulation semantics mirror each torchmetrics reduction:
   ssim      : (sum of per-image ssim, n_images)
   ms_ssim   : (sum of per-image ms-ssim, n_images)
   l1/l2     : (sum of abs/sq error, n_elements)
-  poisson   : (sum of batch means, n_batches)  — the reference's custom
-              `_Metric` accumulates batch means and divides by the number of
-              images, reproduced as-is (metrics.py:30-39).
+  poisson   : (sum of batch means, n_IMAGES) — the reference's custom
+              `_Metric` accumulates one batch-mean per batch but divides by
+              the total image count, reproduced as-is (metrics.py:30-39).
+
+Mean-style metrics (poisson + the extended suite) need one extra care under
+data parallelism: the eval step psums state DELTAS across the `data` axis,
+which is exactly right for sum-style states but would add one shard-mean
+PER SHARD for mean-style ones (the reported value would scale with device
+count). Updaters therefore take an optional `axis_name`: when set, the
+mean is computed over the GLOBAL batch (psum numerator/denominator) and
+pre-divided by the axis size so the subsequent delta-psum reconstructs
+exactly one global batch-mean.
 
 `XMMMetricCollection` semantics: before each update, preds/target are
 de-stretched with the dataset normalizer's bare destretch and re-stretched per
@@ -26,9 +35,10 @@ scaling normalizer (xmm_metric_collection.py:135-143); metrics are logged as
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.ssim import ms_ssim_per_image, ssim_per_image
 from ..ops.stretch import Normalizer
@@ -43,37 +53,56 @@ def _per_image_sum(x: Array) -> Array:
     return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
 
 
-def _upd_psnr(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def _upd_psnr(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     per_img = _per_image_sum(jnp.square(p - t))
     n_per = p.size / p.shape[0]
     return jnp.sum(w * per_img), jnp.sum(w) * n_per
 
 
-def _upd_ssim(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def _upd_ssim(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     return jnp.sum(w * ssim_per_image(p, t)), jnp.sum(w)
 
 
-def _upd_ms_ssim(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def _upd_ms_ssim(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     return jnp.sum(w * ms_ssim_per_image(p, t)), jnp.sum(w)
 
 
-def _upd_l1(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def _upd_l1(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     per_img = _per_image_sum(jnp.abs(p - t))
     return jnp.sum(w * per_img), jnp.sum(w) * (p.size / p.shape[0])
 
 
-def _upd_l2(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def _upd_l2(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     per_img = _per_image_sum(jnp.square(p - t))
     return jnp.sum(w * per_img), jnp.sum(w) * (p.size / p.shape[0])
 
 
-def _upd_poisson(p: Array, t: Array, w: Array) -> Tuple[Array, Array]:
+def batch_mean_delta(per_img: Array, w: Array, axis_name=None) -> Array:
+    """One GLOBAL weighted batch-mean per update, robust to data parallelism.
+
+    Without `axis_name`: the local weighted mean. With it (inside
+    shard_map): numerator/denominator are psum'd so every shard sees the
+    global batch mean, then pre-divided by the axis size because the eval
+    step psums state deltas — the psum of `mean/n_shards` over shards is
+    exactly one global batch-mean, making the reported value invariant to
+    the device count (it previously scaled ~linearly with it)."""
+    num = jnp.sum(w * per_img)
+    den = jnp.sum(w)
+    if axis_name is not None:
+        num = lax.psum(num, axis_name)
+        den = lax.psum(den, axis_name)
+        return num / jnp.maximum(den, 1.0) / lax.psum(1.0, axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def _upd_poisson(p: Array, t: Array, w: Array, axis_name=None) -> Tuple[Array, Array]:
     per_img = jnp.mean(
         (p - t * jnp.log(p + 1e-8)).reshape(p.shape[0], -1), axis=-1
     )
-    # Reference accumulates batch means / batch sizes (metrics.py:30-39);
-    # the weighted per-image form reduces to that for full batches.
-    return jnp.sum(w * per_img) / jnp.maximum(jnp.sum(w), 1.0), jnp.sum(w)
+    # Reference accumulates batch means / total image count
+    # (metrics.py:30-39); the weighted per-image form reduces to that for
+    # full batches.
+    return batch_mean_delta(per_img, w, axis_name), jnp.sum(w)
 
 
 _UPDATES: Dict[str, Callable[[Array, Array, Array], Tuple[Array, Array]]] = {
@@ -111,14 +140,19 @@ class MetricBank:
         preds: Array,
         target: Array,
         weights: Array | None = None,
+        axis_name: Optional[str] = None,
     ) -> State:
         """Accumulate one batch. `weights` is an optional per-sample (B,)
-        weight vector (0 for padded samples under data-parallel padding)."""
+        weight vector (0 for padded samples under data-parallel padding).
+        `axis_name` must be set when called on a batch SHARD inside
+        shard_map whose state deltas are psum'd (see module docstring)."""
         if weights is None:
             weights = jnp.ones((preds.shape[0],), jnp.float32)
         out = {}
         for n in self.names:
-            ds, dn = _UPDATES[n.split("/")[-1]](preds, target, weights)
+            ds, dn = _UPDATES[n.split("/")[-1]](
+                preds, target, weights, axis_name
+            )
             s, c = state[n]
             out[n] = (s + ds, c + dn)
         return out
@@ -164,6 +198,7 @@ class XMMMetricCollection:
         preds: Array,
         target: Array,
         weights: Array | None = None,
+        axis_name: Optional[str] = None,
     ) -> Dict[str, State]:
         preds = self.dataset_normalizer.destretch_only(preds)
         target = self.dataset_normalizer.destretch_only(target)
@@ -171,7 +206,9 @@ class XMMMetricCollection:
         for nz in self.scaling_normalizers:
             p = nz.stretch_only(preds)
             t = nz.stretch_only(target)
-            out[nz.mode] = self.banks[nz.mode].update(state[nz.mode], p, t, weights)
+            out[nz.mode] = self.banks[nz.mode].update(
+                state[nz.mode], p, t, weights, axis_name
+            )
         return out
 
     def compute(self, state: Dict[str, State]) -> Dict[str, Array]:

@@ -43,12 +43,15 @@ def _conv2d_same(x: Array, kernels: np.ndarray | Array) -> Array:
 
 
 def _avg_pool2(x: Array) -> Array:
-    """2x2/stride-2 average pool with piq's bottom/right zero pad for odd dims."""
+    """2x2/stride-2 average pool with piq's bottom/right zero pad for odd dims.
+
+    H and W are padded INDEPENDENTLY (piq semantics): a mixed-parity input
+    like (5, 4) pads only the odd dimension — padding both would break the
+    reshape."""
     n, h, w, c = x.shape
     ph, pw = h % 2, w % 2
-    pad = max(ph, pw)
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0)))
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         h, w = x.shape[1], x.shape[2]
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return x.mean(axis=(2, 4))
@@ -457,12 +460,11 @@ def register_extended_metrics() -> None:
     from . import collection as _c
 
     def _make(fn):
-        def upd(p: Array, t: Array, w: Array):
+        def upd(p: Array, t: Array, w: Array, axis_name=None):
             per_img = fn(p, t)
-            return (
-                jnp.sum(w * per_img) / jnp.maximum(jnp.sum(w), 1.0),
-                jnp.sum(w),
-            )
+            # one GLOBAL batch-mean per update regardless of device count
+            # (collection.batch_mean_delta handles the shard_map psums)
+            return _c.batch_mean_delta(per_img, w, axis_name), jnp.sum(w)
 
         return upd
 

@@ -34,9 +34,18 @@ def initialize_distributed(
         return  # single host
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=(
+            num_processes
+            if num_processes is not None
+            else int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        ),
+        # `process_id or env` would discard an explicit process_id=0 (rank 0
+        # is falsy) and let a stale env var steal its slot
+        process_id=(
+            process_id
+            if process_id is not None
+            else int(os.environ.get("JAX_PROCESS_ID", "0"))
+        ),
     )
     log.info(
         "Joined distributed runtime: process %d/%d, %d local / %d global devices",

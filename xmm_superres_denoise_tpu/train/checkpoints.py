@@ -22,10 +22,25 @@ class CheckpointManager:
     def __init__(self, root: Path, max_to_keep: int = 3):
         self.root = Path(root).resolve()
         self.root.mkdir(parents=True, exist_ok=True)
+        from orbax.checkpoint.checkpoint_managers import preservation_policy
+
+        # best_fn + max_to_keep alone builds a BestN-ONLY retention policy:
+        # once val/loss starts worsening, every NEW step is deleted right
+        # after it is saved and resume-from-latest silently rewinds to the
+        # best epoch. Preserve the latest step alongside the best N.
         self._mngr = ocp.CheckpointManager(
             self.root / "ckpts",
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
+                preservation_policy=preservation_policy.AnyPreservationPolicy(
+                    policies=[
+                        preservation_policy.LatestN(n=1),
+                        preservation_policy.BestN(
+                            get_metric_fn=lambda m: m["val_loss"],
+                            reverse=True,  # == best_mode "min"
+                            n=max_to_keep,
+                        ),
+                    ]
+                ),
                 best_fn=lambda m: m["val_loss"],
                 best_mode="min",
             ),
@@ -96,16 +111,27 @@ class CheckpointManager:
         self._mngr.close()
 
 
+def _keypath_name(keypath) -> str:
+    """Stable string for a tree keypath entry: DictKey has .key, GetAttrKey
+    has .name, SequenceKey has an int .idx — all must stringify."""
+    parts = []
+    for k in keypath:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                parts.append(str(getattr(k, attr)))
+                break
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
 def save_params_npz(path: Path, params: Any) -> None:
     """Flat .npz export of a parameter pytree (portable deployment format,
     filling the role of the reference's shipped ONNX weight files)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for keypath, leaf in flat:
-        name = "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) for k in keypath
-        )
-        out[name] = np.asarray(leaf)
+        out[_keypath_name(keypath)] = np.asarray(leaf)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **out)
@@ -116,9 +142,7 @@ def load_params_npz(path: Path, params_template: Any) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
     leaves = []
     for keypath, leaf in flat:
-        name = "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) for k in keypath
-        )
+        name = _keypath_name(keypath)
         arr = data[name]
         if arr.shape != leaf.shape:
             raise ValueError(f"{name}: shape {arr.shape} != template {leaf.shape}")

@@ -132,9 +132,12 @@ def make_eval_step(
     step serve every epoch (a closure would bake the epoch's weights into
     the executable and recompile per epoch).
 
-    `metric_updaters` maps state-key -> update(state, preds_or_lr, target, w).
-    The special key prefix "in:" receives the (upsampled) INPUT instead of the
-    prediction — the reference's input-baseline metrics (model.py:90-105).
+    `metric_updaters` maps state-key ->
+    update(state, preds_or_lr, target, w, axis_name): the updater runs on a
+    batch SHARD and its state delta is psum'd over `axis_name`, so
+    mean-style metrics must normalize globally (collection.batch_mean_delta).
+    The special key prefix "in:" receives the (upsampled) INPUT instead of
+    the prediction — the reference's input-baseline metrics (model.py:90-105).
     Returns (new_states, loss_sum_delta, weight_sum_delta).
     """
     metric_updaters = metric_updaters or {}
@@ -164,7 +167,7 @@ def make_eval_step(
         for key, update in metric_updaters.items():
             src = lr_up if key.startswith("in:") else preds
             st = states[key]
-            new = update(st, src, target, w)
+            new = update(st, src, target, w, DATA_AXIS)
             # psum the delta so replicated state stays identical on all shards
             delta = jax.tree_util.tree_map(lambda a, b: b - a, st, new)
             delta = lax.psum(delta, DATA_AXIS)
