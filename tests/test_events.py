@@ -168,6 +168,44 @@ def test_device_and_host_binning_agree(tmp_path):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_device_binning_exact_at_mission_times(tmp_path):
+    """Device path must match the host path at REAL XMM mission elapsed
+    times (~5.6e8 s), where the float32 ulp is 64 s: without host-side
+    time rebasing, events within ~64 s of a GTI edge were misclassified
+    (regression). Events are placed 1 s on either side of the edges."""
+    t0 = 5.6e8
+    g = np.random.default_rng(11)
+    n = 512
+    times = np.sort(g.uniform(t0, t0 + 30_000, n))
+    # cluster events 1 s around the GTI boundaries (f32 cannot resolve)
+    times[:64] = t0 + 2_000.0 - 1.0
+    times[64:128] = t0 + 2_000.0 + 1.0
+    times[128:192] = t0 + 25_000.0 - 1.0
+    times[192:256] = t0 + 25_000.0 + 1.0
+    x0b, x1b = -16120, 16119
+    y0b, y1b = -16440, 16439
+    cols = {
+        "TIME": np.sort(times),
+        "DETX": g.integers(x0b, x1b + 1, n).astype(np.int32),
+        "DETY": g.integers(y0b, y1b + 1, n).astype(np.int32),
+        "PI": np.full(n, 1_000, np.int32),
+        "PATTERN": np.zeros(n, np.int32),
+        "FLAG": np.zeros(n, np.int32),
+    }
+    path = tmp_path / "events.fits"
+    write_bintable(
+        path, cols, extname="EVENTS",
+        header={"INSTRUME": "EPN", "ONTIME": 30_000.0},
+        column_limits={"DETX": (x0b, x1b), "DETY": (y0b, y1b)},
+    )
+    events = load_event_list(path)
+    gti = GTI(np.array([t0 + 2_000.0]), np.array([t0 + 25_000.0]))
+    host, _ = bin_events(events, gti, device=False)
+    dev, _ = bin_events(events, gti, device=True)
+    assert host.sum() > 0
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_mos_filter_family(tmp_path):
     """EMOS events bin with the MOS quality cuts — (FLAG & 0x766ba000)==0 &&
     PATTERN<=12 (xmmsas_tools.py:437-444,536-539) — selected from the event

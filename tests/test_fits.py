@@ -155,6 +155,56 @@ def test_write_drops_stale_scaling_cards(tmp_path):
     assert hdr["EXPOSURE"] == 20_000.0
 
 
+def test_long_string_and_commentary_cards(tmp_path):
+    """Values longer than one card use the OGIP long-string convention
+    (CONTINUE cards) and COMMENT/HISTORY become wrapped commentary cards —
+    the old formatter silently truncated them and dropped the closing
+    quote, emitting malformed cards for every product COMMENT."""
+    long = (
+        "XMM esr_gen model prediction. Needs to be multiplied by exposure. "
+        "It's possible that the given exposure is not correctly calculated "
+        "so take care."
+    )
+    path = write_image(
+        tmp_path / "c.fits", np.ones((3, 4), np.float32),
+        header={"IMG_CMT": long, "COMMENT": "x" * 200, "EXPOSURE": 20_000.0},
+    )
+    out, hdr = read_image(path)
+    assert out.shape == (3, 4)
+    assert hdr["IMG_CMT"] == long
+    assert hdr["EXPOSURE"] == 20_000.0
+
+
+def test_image_writer_drops_bintable_structure_cards(tmp_path):
+    """An EVENTS-extension header copied into an image product must not
+    carry extension-structure cards: a nonzero PCOUNT (heap size) made the
+    product unreadable (data size = image + heap)."""
+    evt_hdr = {
+        "XTENSION": "BINTABLE", "PCOUNT": 16, "GCOUNT": 1, "TFIELDS": 3,
+        "EXPOSURE": 20_000.0,
+    }
+    path = write_image(tmp_path / "img.fits", np.ones((3, 4), np.float32),
+                       header=evt_hdr)
+    out, hdr = read_image(path)  # crashed before: reshape size mismatch
+    assert out.shape == (3, 4)
+    for k in ("XTENSION", "PCOUNT", "GCOUNT", "TFIELDS"):
+        assert k not in hdr
+    assert hdr["EXPOSURE"] == 20_000.0
+
+
+def test_read_header_only(tmp_path):
+    """read_header returns shape/exposure info without decoding data."""
+    from xmm_superres_denoise_tpu.io.fits import read_header
+
+    path = write_image(
+        tmp_path / "h.fits.gz",
+        np.ones((7, 5), np.float32), {"EXPOSURE": 1_000.0},
+    )
+    hdr = read_header(path)
+    assert (int(hdr["NAXIS2"]), int(hdr["NAXIS1"])) == (7, 5)
+    assert hdr["EXPOSURE"] == 1_000.0
+
+
 def test_bintable_roundtrip_all_dtypes(tmp_path):
     """write_bintable/read_bintable roundtrip every supported column type
     with exact values, TLMIN/TLMAX bounds, and extension selection."""

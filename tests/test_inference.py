@@ -399,3 +399,29 @@ def test_serve_files_matches_single_file_path(tmp_path):
         in_s, _ = read_image(s_in)
         in_r, _ = read_image(r_in)
         np.testing.assert_allclose(in_s, in_r, atol=1e-6)
+
+
+def test_write_products_stem_with_input_predict_words(tmp_path):
+    """Product names derive from the stem directly: the old
+    replace('input','predict') on the full name mangled stems containing
+    'input'/'predict' and could collide two different files' products."""
+    from xmm_superres_denoise_tpu.infer.run_file import write_products
+
+    inp = np.random.default_rng(0).uniform(0, 1, (16, 16)).astype(np.float32)
+    pred = np.random.default_rng(1).uniform(0, 1, (32, 32)).astype(np.float32)
+    hdr = {
+        "EXPOSURE": 20_000.0, "CRPIX1": 8.0, "CRPIX2": 8.0,
+        "CRVAL1": 150.0, "CRVAL2": 2.0, "CDELT1": -0.001111,
+        "CDELT2": 0.001111, "PA_PNT": 65.0,
+    }
+    pairs = {}
+    for stem in ("pn_input", "pn_predict"):
+        p_in, p_pred = write_products(
+            inp, pred, tmp_path, Path(f"{stem}.fits"), 20_000.0, 100.0,
+            "esr_gen", hdr, plot=False,
+        )
+        assert p_in.name.startswith(f"{stem}_input_wcs")
+        assert p_pred.name.startswith(f"{stem}_predict_wcs")
+        pairs[stem] = (p_in, p_pred)
+    all_paths = [p for pair in pairs.values() for p in pair]
+    assert len(set(all_paths)) == 4, all_paths

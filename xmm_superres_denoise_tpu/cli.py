@@ -64,9 +64,16 @@ def load_run_config(path: Path, res_dir: Path = RES_DIR):
     with open(res_dir / "configs" / "models.toml", "rb") as f:
         registry = tomllib.load(f)
     model_dict["model"] = dict(registry[model_dict["name"]])
+    # only pass keys the registry entry actually sets — missing ones fall
+    # back to the OptimizerCfg schema defaults (a bare .pop raised KeyError
+    # with no pointer to models.toml)
     model_dict["optimizer"] = {
-        "learning_rate": model_dict["model"].pop("learning_rate"),
-        "betas": model_dict["model"].pop("betas"),
+        k: v
+        for k, v in (
+            ("learning_rate", model_dict["model"].pop("learning_rate", None)),
+            ("betas", model_dict["model"].pop("betas", None)),
+        )
+        if v is not None
     }
     model_dict["batch_size"] = dataset_config.batch_size
     model_config = ModelCfg(**model_dict)
@@ -245,6 +252,7 @@ def cmd_serve(args) -> int:
     if unmatched or not files:
         log.error("serve: no input files matched %s", unmatched or args.fits)
         return 2
+    files = list(dict.fromkeys(files))  # overlapping patterns: serve once
     engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
     results = serve_files(
         files, engine, Path(args.out),
@@ -264,42 +272,11 @@ def cmd_serve(args) -> int:
 def cmd_end2end(args) -> int:
     """obsid PPS dir -> detxy -> SR/DN products (reference
     inference_end2end_obsid.py equivalent)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .data.datasets import load_det_mask
     from .infer.end2end import run_end2end
-    from .infer.run_file import InferenceEngine
-    from .models.registry import build_model
-    from .train.checkpoints import load_params_npz
 
-    ds_cfg, m_cfg, _, _, _ = load_run_config(args.run_config)
-    lr = (ds_cfg.lr.res, ds_cfg.lr.res)
-    hr = (ds_cfg.hr.res, ds_cfg.hr.res) if ds_cfg.hr else lr
-    model = build_model(m_cfg, lr, hr)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *lr, 1)))
-    ckpt = Path(args.checkpoint)
-    if ckpt.suffix == ".onnx":
-        from .infer.onnx_import import import_onnx_params
-
-        params = {"params": import_onnx_params(ckpt, template["params"])}
-    elif ckpt.suffix == ".npz":
-        params = load_params_npz(ckpt, template)
-    else:
-        import optax
-
-        from .train.checkpoints import CheckpointManager
-        from .train.steps import TrainState
-
-        state, _ = CheckpointManager(ckpt).restore_best(
-            TrainState.create(template, optax.adam(1e-4))
-        )
-        params = state.params
-
-    mask = load_det_mask(ds_cfg.lr.det_mask) if ds_cfg.lr.det_mask else None
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    engine = InferenceEngine(m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
-                             quantize=getattr(args, "int8", False))
+    # the same construction path as `infer`/`serve` — a private rebuild here
+    # had already drifted (no fingerprint-bound int8 scale persistence)
+    engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
     result = run_end2end(
         Path(args.pps), engine, Path(args.out),
         hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
@@ -309,6 +286,7 @@ def cmd_end2end(args) -> int:
         plot=args.plot,
         use_sas=args.use_sas,
     )
+    save_scales()
     print(json.dumps({k: str(v) for k, v in result.items()}))
     return 0
 
@@ -465,6 +443,8 @@ def main(argv=None) -> int:
                    help="bf16 serving mode (f32 is the parity mode)")
     p.add_argument("--int8", action="store_true",
                    help="w8a8 quantized serving (RRDB models)")
+    p.add_argument("--int8_scales", type=Path, default=None,
+                   help="persist/load fingerprint-bound int8 scales JSON")
     p.set_defaults(func=cmd_end2end)
 
     p = sub.add_parser(

@@ -57,6 +57,16 @@ def _empty_to_none(value):
     return Path(value)
 
 
+def _mask_exists(v):
+    """Shared det_mask existence check (reference config.py:57-74)."""
+    if v is not None:
+        if not v.exists():
+            raise FileNotFoundError(f"Detector mask does not exist at '{v}'!")
+        if v.is_dir():
+            raise FileExistsError(f"Detector mask path is a directory: '{v}'")
+    return v
+
+
 class HrDatasetCfg(BaseModel):
     det_mask: Optional[Path] = None
     agn: bool = True
@@ -65,16 +75,7 @@ class HrDatasetCfg(BaseModel):
     res: PositiveInt
 
     _norm_mask = field_validator("det_mask", mode="before")(_empty_to_none)
-
-    @field_validator("det_mask")
-    @classmethod
-    def _mask_exists(cls, v):
-        if v is not None:
-            if not v.exists():
-                raise FileNotFoundError(f"Detector mask does not exist at '{v}'!")
-            if v.is_dir():
-                raise FileExistsError(f"Detector mask path is a directory: '{v}'")
-        return v
+    _check_mask = field_validator("det_mask")(_mask_exists)
 
 
 class LrDatasetCfg(BaseModel):
@@ -85,16 +86,7 @@ class LrDatasetCfg(BaseModel):
     res: PositiveInt
 
     _norm_mask = field_validator("det_mask", mode="before")(_empty_to_none)
-
-    @field_validator("det_mask")
-    @classmethod
-    def _mask_exists_lr(cls, v):
-        if v is not None:
-            if not v.exists():
-                raise FileNotFoundError(f"Detector mask does not exist at '{v}'!")
-            if v.is_dir():
-                raise FileExistsError(f"Detector mask path is a directory: '{v}'")
-        return v
+    _check_mask = field_validator("det_mask")(_mask_exists)
 
 
 class DatasetCfg(BaseModel):
@@ -117,8 +109,8 @@ class DatasetCfg(BaseModel):
 
     @property
     def res_mult(self) -> int:
-        if self.type is DatasetType.REAL:
-            return 1
+        if self.type is DatasetType.REAL or self.hr is None:
+            return 1  # no HR side (denoise-style / input-only datasets)
         return self.hr.res // self.lr.res
 
     def _mode_dir(self, mode: ImageType) -> Path:

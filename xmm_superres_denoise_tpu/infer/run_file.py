@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.schema import DatasetCfg, ModelCfg
-from ..io.fits import read_image
+from ..io.fits import read_header, read_image
 from ..io.wcs import write_xmm_product_wcs
 from ..models.registry import build_model
 from ..ops.preprocess import pad_to_res
@@ -370,11 +370,15 @@ def serve_files(
         seen[b] = k + 1
         stems.append(b if k == 0 else f"{b}__{k + 1}")
 
-    # pass 1: geometry only — group by native shape, O(1) held at once
+    # pass 1: geometry only — header-only reads (no data decode), group by
+    # native shape, O(1) held at once
     groups: dict = {}
     for idx, f in enumerate(files):
-        img, _ = read_image(f)
-        groups.setdefault(img.shape, []).append(idx)
+        hdr = read_header(f)
+        shape = tuple(
+            int(hdr[f"NAXIS{i}"]) for i in range(int(hdr["NAXIS"]), 0, -1)
+        )
+        groups.setdefault(shape, []).append(idx)
 
     results: list = [None] * len(files)
     sub_cap = batch_size * 4  # a few pipelined chunks per resident stack
@@ -411,8 +415,12 @@ def write_products(
     by single-file `infer_file` and the batched `cli.py serve` path so both
     emit identical products. `out_stem` overrides the product stem (the
     batched path disambiguates colliding basenames with it)."""
-    in_name = f"{out_stem or fits_file.stem.replace('.fits', '')}_input_wcs"
-    pred_name = in_name.replace("input", "predict")
+    stem = out_stem or fits_file.stem.replace(".fits", "")
+    # both names built from the stem — replace("input","predict") on the
+    # full name mangled stems that themselves contain "input"/"predict"
+    # and could collide two different files' products
+    in_name = f"{stem}_input_wcs"
+    pred_name = f"{stem}_predict_wcs"
     res_mult = pred.shape[0] // inp.shape[0]
 
     p_in = write_xmm_product_wcs(

@@ -115,11 +115,12 @@ def verify_onnx(
     rows = []
     calib_input = None
     for f in data_files:
-        img, hdr = read_image(f)
-        exposure = float(hdr.get("EXPOSURE", hdr.get("ONTIME", 0.0)))
-        rate = img.astype(np.float32)
-        if exposure > 0:
-            rate = rate / exposure
+        # the exact serve-path counts->rate conversion (EXPOSURE/ONTIME
+        # fallback included): the gate must validate the same input
+        # distribution production serves
+        from .run_file import load_rate_image
+
+        rate, hdr, exposure = load_rate_image(f)
         x = rate
         if mask is not None:
             x = x * mask.astype(np.float32)

@@ -194,6 +194,19 @@ def read_hdus(path: Union[str, Path, bytes]) -> List[Tuple[Header, bytes]]:
     return list(_iter_hdus(_open_stream(path)))
 
 
+def read_header(path: Union[str, Path, bytes], hdu: int = 0) -> Header:
+    """Header of one HDU without decoding (or, for hdu=0, even reading)
+    the data — shape/exposure probes over many files (e.g. serve_files'
+    geometry grouping) skip the full gunzip+parse this way."""
+    stream = _open_stream(path)
+    for i in range(hdu + 1):
+        hdr = _read_header(stream)
+        if i == hdu:
+            return hdr
+        stream.read(_padded(_data_nbytes(hdr)))
+    raise ValueError(f"HDU {hdu} not found")
+
+
 def _image_from(hdr: Header, raw: bytes) -> np.ndarray:
     bitpix = int(hdr["BITPIX"])
     dtype = _BITPIX_DTYPE[bitpix]
@@ -311,10 +324,36 @@ def read_bintable(
 # ---------------------------------------------------------------------------
 
 
+def _split_escaped(s: str, width: int) -> list:
+    """Chunk a quote-escaped string without splitting an escaped '' pair."""
+    chunks = []
+    while s:
+        c = s[:width]
+        if len(s) > width:
+            trailing = len(c) - len(c.rstrip("'"))
+            if trailing % 2 == 1:  # would split an escaped quote pair
+                c = c[:-1]
+        chunks.append(c)
+        s = s[len(c):]
+    return chunks
+
+
 def _format_card(key: str, value: Any, comment: str = "") -> str:
+    """One FITS card — or SEVERAL concatenated 80-char cards when needed:
+    COMMENT/HISTORY become commentary cards (no '=', wrapped every 72
+    chars) and over-long strings use the OGIP long-string convention
+    ('...&' + CONTINUE cards, which `_read_header` already parses). The
+    old single-card formatter silently truncated long values and dropped
+    the closing quote, emitting malformed cards for every product COMMENT."""
+    if key.upper() in ("COMMENT", "HISTORY"):
+        text = str(value) or " "
+        w = CARD - 8
+        return "".join(
+            f"{key:<8}{text[i:i + w]}".ljust(CARD)
+            for i in range(0, len(text), w)
+        )
     if isinstance(value, bool):
-        val = "T" if value else "F"
-        body = f"{val:>20}"
+        body = f"{'T' if value else 'F':>20}"
     elif isinstance(value, (int, np.integer)):
         body = f"{int(value):>20}"
     elif isinstance(value, (float, np.floating)):
@@ -323,7 +362,21 @@ def _format_card(key: str, value: Any, comment: str = "") -> str:
         body = " " * 20
     else:
         s = str(value).replace("'", "''")
-        body = f"'{s:<8}'"
+        one = f"{key:<8}= '{s:<8}'" + (f" / {comment}" if comment else "")
+        if len(one) <= CARD:
+            return one.ljust(CARD)
+        # long-string convention: each chunk ends with '&' except the last
+        chunks = _split_escaped(s, CARD - 13)  # "KEY...= '" + "&'" margin
+        cards = []
+        for i, c in enumerate(chunks):
+            lead = f"{key:<8}= " if i == 0 else "CONTINUE  "
+            amp = "&" if i < len(chunks) - 1 else ""
+            cards.append(f"{lead}'{c}{amp}'".ljust(CARD))
+        if comment and len(cards[-1].rstrip()) + 3 + len(comment) <= CARD:
+            cards[-1] = (
+                f"{cards[-1].rstrip()} / {comment}".ljust(CARD)
+            )
+        return "".join(cards)
     card = f"{key:<8}= {body}"
     if comment:
         card = f"{card} / {comment}"
@@ -485,6 +538,11 @@ def write_image(
             if ku in ("BSCALE", "BZERO"):
                 # `data` holds physical values; a scaling card inherited from
                 # a source header would be applied AGAIN on the next read.
+                continue
+            if ku in ("XTENSION", "PCOUNT", "GCOUNT", "TFIELDS"):
+                # extension-structure cards inherited from a bintable
+                # header: a nonzero PCOUNT would make this primary image
+                # unreadable (data size = image + heap)
                 continue
             cards.append(_format_card(ku, v, comments.get(k, "")))
     if out_bzero:

@@ -16,6 +16,7 @@ dependency-free FITS layer:
 from __future__ import annotations
 
 import math
+import re
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -39,11 +40,26 @@ _OMIT_WCS_TOO = _OMIT_BASE + [
 ]
 
 
+# Bintable-structure cards (from an EVENTS extension header) that must
+# never reach a primary IMAGE product: a copied nonzero PCOUNT makes the
+# product unreadable (data size = image + heap), and XTENSION/TTYPEn/...
+# are table keywords with no meaning in an image HDU.
+_TABLE_CARD_RE = re.compile(
+    r"^(XTENSION|PCOUNT|GCOUNT|TFIELDS|EXTNAME|CHECKSUM|DATASUM|THEAP|"
+    r"T(?:TYPE|FORM|UNIT|LMIN|LMAX|SCAL|ZERO|NULL|DISP|DIM|"
+    r"CTYP|CRPX|CRVL|CDLT|CUNI)\d+)$"
+)
+
+
+def is_table_card(key: str) -> bool:
+    return bool(_TABLE_CARD_RE.match(str(key).upper()))
+
+
 def _carry_header(in_header: Optional[Header], omit) -> Header:
     out = Header()
     if in_header:
         for k, v in in_header.items():
-            if k not in omit:
+            if k not in omit and not is_table_card(k):
                 out[k] = v
     return out
 
@@ -270,7 +286,8 @@ def detxy_wcs_header(
     """
     hdr = Header()
     for k, v in in_header.items():
-        hdr[k] = v
+        if not is_table_card(k):
+            hdr[k] = v
     if ref_pix is None:
         ref_pix = native_ecoordconv(meta, in_header)
     if ref_pix is not None:

@@ -168,4 +168,11 @@ class DRCT(nn.Module):
             feat = nn.leaky_relu(feat, negative_slope=0.01)
             feat = UpsampleStack(self.upscale, self.num_feat, name="upsample")(feat)
             feat = conv2d_torch(self.in_chans, self.num_feat, name="conv_last")(feat)
+        else:
+            # the reference silently returns the embed-dim feature map here
+            # (drct.py:366) — fail loudly instead
+            raise ValueError(
+                f"DRCT implements upsampler='pixelshuffle' only, got "
+                f"{self.upsampler!r}"
+            )
         return feat

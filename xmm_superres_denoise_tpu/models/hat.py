@@ -129,7 +129,7 @@ class HATWindowAttention(nn.Module):
         rpi = jnp.asarray(
             relative_position_index(self.window_size[0], self.window_size[1])
         )
-        qkv = dense_torch_init("qkv", 3 * c)(x)
+        qkv = dense_torch_init("qkv", 3 * c, use_bias=self.qkv_bias)(x)
         qkv = qkv.reshape(b_, n, 3, nh, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum(
@@ -262,6 +262,7 @@ class OCAB(nn.Module):
     overlap_ratio: float
     num_heads: int
     mlp_ratio: float = 2.0
+    qkv_bias: bool = True
 
     @nn.compact
     def __call__(self, x: Array, x_size: Tuple[int, int]) -> Array:
@@ -277,7 +278,7 @@ class OCAB(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         img = x.reshape(b, h, w, c)
 
-        qkv = dense_torch_init("qkv", 3 * c)(img)  # (b, h, w, 3c)
+        qkv = dense_torch_init("qkv", 3 * c, use_bias=self.qkv_bias)(img)
         q = qkv[..., :c]
         kv = qkv[..., c:]
 
@@ -437,4 +438,12 @@ class HAT(nn.Module):
             feat = nn.leaky_relu(feat, negative_slope=0.01)
             feat = UpsampleStack(self.upscale, self.num_feat, name="upsample")(feat)
             feat = conv2d_torch(self.in_chans, self.num_feat, name="conv_last")(feat)
+        else:
+            # the reference silently returns the embed-dim feature map here
+            # (hat.py:904-909) — fail loudly instead of shipping a
+            # (B, H, W, 180) "image" into the loss
+            raise ValueError(
+                f"HAT implements upsampler='pixelshuffle' only, got "
+                f"{self.upsampler!r}"
+            )
         return feat

@@ -8,6 +8,7 @@ pixel-shuffle stages at x2 each — model.py:160-167).
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 from flax import linen as nn
@@ -24,17 +25,22 @@ def build_model(
 
     if name is BaseModels.ESR_GEN:
         up_scale = hr_shape[0] / lr_shape[0]
-        if up_scale % 2 != 0:
+        # each upsample stage is a x2 PixelShuffle, so the scale must be a
+        # power of two and the stage count its log2. The reference's
+        # `int(up_scale / 2)` (model.py:160-167) happens to agree at 2x/4x
+        # but builds a 16x model for an 8x config.
+        n_stages = math.log2(up_scale) if up_scale > 0 else -1.0
+        if up_scale < 2 or n_stages != int(n_stages):
             raise ValueError(
-                f"Upscaling is not a multiple of two but {up_scale}, "
-                f"based on in_dims {lr_shape} and out_dims {hr_shape}"
+                f"Upscaling must be a power-of-two multiple >= 2, got "
+                f"{up_scale} (in_dims {lr_shape}, out_dims {hr_shape})"
             )
         return GeneratorRRDB_SR(
             in_channels=m.in_channels,
             out_channels=m.out_channels,
             num_filters=m.filters,
             num_res_blocks=m.residual_blocks,
-            num_upsample=int(up_scale / 2),
+            num_upsample=int(n_stages),
             memory_efficient=config.memory_efficient,
         )
 

@@ -46,19 +46,26 @@ Array = jnp.ndarray
 # --------------------------------------------------------------------------- #
 
 def trunc_normal_init(std: float = 0.02):
-    """timm trunc_normal_: N(0, std) truncated at +-2*std."""
+    """timm trunc_normal_: N(0, std) truncated at ABSOLUTE +-2 (timm's
+    a=-2., b=2. defaults), i.e. +-100 sigma at std=0.02 — effectively an
+    untruncated normal. Truncating at +-2*std (the naive reading) shrinks
+    the effective std by ~12% vs the reference init."""
 
     def init(key, shape, dtype=jnp.float32):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+        lim = 2.0 / std
+        return std * jax.random.truncated_normal(key, -lim, lim, shape, dtype)
 
     return init
 
 
-def dense_torch_init(name: Optional[str] = None, features: int = 0):
+def dense_torch_init(
+    name: Optional[str] = None, features: int = 0, use_bias: bool = True
+):
     """nn.Dense with the reference's init_weights: trunc_normal(0.02) weight,
     zero bias (tools.py:24-28)."""
     return nn.Dense(
         features,
+        use_bias=use_bias,
         kernel_init=trunc_normal_init(0.02),
         bias_init=nn.initializers.zeros_init(),
         name=name,

@@ -38,8 +38,15 @@ def build_swin_family(
     if name is BaseModels.SWINFIR:
         return SwinIR(resi_connection="SFB", **common)
     if name is BaseModels.DRCT:
-        common.pop("upsampler")
-        return DRCT(upsampler=cfg.upsampler or "pixelshuffle", **common)
+        if cfg.upsampler != "pixelshuffle":
+            # no silent coercion: '' (the SwinIR denoise-head selector)
+            # would otherwise build an SR reconstruction head the config
+            # did not ask for
+            raise ValueError(
+                "DRCT supports model.upsampler='pixelshuffle' only, got "
+                f"{cfg.upsampler!r}"
+            )
+        return DRCT(**common)
     if name is BaseModels.HAT:
         return HAT(**common)
     raise ValueError(name)

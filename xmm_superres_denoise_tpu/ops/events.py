@@ -235,7 +235,7 @@ def load_event_list(path: Path) -> EventList:
     )
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "bin_size", "max_gti", "flag_mask"))
+@partial(jax.jit, static_argnames=("nx", "ny", "bin_size", "flag_mask"))
 def _bin_events_device(
     detx: Array,
     dety: Array,
@@ -243,13 +243,12 @@ def _bin_events_device(
     pattern: Array,
     flag: Array,
     time: Array,
-    gti_start: Array,  # (max_gti,) padded with +inf
-    gti_stop: Array,  # (max_gti,) padded with -inf
+    gti_start: Array,  # (G,) padded with +inf (never-true intervals)
+    gti_stop: Array,  # (G,) padded with -inf
     *,
     nx: int,
     ny: int,
     bin_size: int,
-    max_gti: int,
     x0: int,
     y0: int,
     pi_lo: int,
@@ -262,12 +261,19 @@ def _bin_events_device(
     One fused pass: predicates (PI band, (FLAG & mask)==0, PATTERN, GTI
     membership) -> flat pixel index -> scatter-add. Static shapes: event
     arrays are padded by the host wrapper; invalid rows carry weight 0.
-    flag_mask=-1 (all ones) == the EPN FLAG==0 cut; EMOS uses 0x766ba000
-    (xmmsas_tools.py:536-539).
+    `time` and the GTI bounds must already be REBASED to a small origin by
+    the host wrapper: jax runs f32 by default and the raw XMM mission
+    elapsed time (~5.6e8 s) has a 64 s f32 ulp — edge events would be
+    misclassified vs the host/SAS path. The GTI table is padded to a
+    power-of-two bucket so flare-heavy observations (many GTIs) don't
+    recompile per count. flag_mask=-1 (all ones) == the EPN FLAG==0 cut;
+    EMOS uses 0x766ba000 (xmmsas_tools.py:536-539).
     """
-    in_gti = jnp.zeros(time.shape, bool)
-    for g in range(max_gti):
-        in_gti = in_gti | ((time >= gti_start[g]) & (time < gti_stop[g]))
+    in_gti = jnp.any(
+        (time[:, None] >= gti_start[None, :])
+        & (time[:, None] < gti_stop[None, :]),
+        axis=1,
+    )
 
     valid = (
         (pi >= pi_lo)
@@ -385,9 +391,12 @@ def sky_wcs_header(meta: Dict[str, float], in_header: Header) -> Header:
     """RA/DEC WCS for a sky-binned image, from the event header's REFX/REFY
     sky-frame keywords (the attcalc TAN grid: CRPIX 25921 at the pointing,
     0.05"/unit) rescaled to the binned grid."""
+    from ..io.wcs import is_table_card
+
     hdr = Header()
     for k, v in in_header.items():
-        hdr[k] = v
+        if not is_table_card(k):  # no EVENTS bintable cards in an image
+            hdr[k] = v
     b = float(meta["bin_size"])
     if "REFXCRPX" in in_header:
         hdr["CTYPE1"] = "RA---TAN"
@@ -468,7 +477,25 @@ def bin_events(
         gti_stop = np.array([-np.inf])
     else:
         gti_start, gti_stop = gti.start, gti.stop
-    max_gti = len(gti_start)
+
+    # Rebase times to the observation start IN float64 ON HOST before the
+    # device cast: jnp.asarray downcasts to f32, whose ulp at XMM mission
+    # elapsed time (~5.6e8 s) is 64 s — events near GTI edges would be
+    # misbinned. Rebased values span only the observation (~1e5 s,
+    # ulp ~8 ms << the 73 ms EPN frame time).
+    times = events.time.astype(np.float64)
+    t0 = float(times.min()) if len(times) else 0.0
+    gti_start = np.asarray(gti_start, np.float64) - t0
+    gti_stop = np.asarray(gti_stop, np.float64) - t0
+
+    # Pad the GTI table to a power-of-two bucket with never-true intervals
+    # so flare-heavy observations (many short GTIs) reuse a handful of
+    # compiled kernels instead of recompiling per distinct count.
+    g_bucket = max(1, 1 << (len(gti_start) - 1).bit_length())
+    g_pad = g_bucket - len(gti_start)
+    if g_pad:
+        gti_start = np.concatenate([gti_start, np.full(g_pad, np.inf)])
+        gti_stop = np.concatenate([gti_stop, np.full(g_pad, -np.inf)])
 
     img = _bin_events_device(
         jnp.asarray(pad(events.detx)),
@@ -476,13 +503,12 @@ def bin_events(
         jnp.asarray(pad(events.pi, fill=-1)),  # padded rows fail the PI cut
         jnp.asarray(pad(events.pattern, fill=99)),
         jnp.asarray(pad(events.flag, fill=1)),
-        jnp.asarray(pad(events.time.astype(np.float64), fill=np.inf)),
+        jnp.asarray(pad(times - t0, fill=np.inf)),
         jnp.asarray(gti_start),
         jnp.asarray(gti_stop),
         nx=nx,
         ny=ny,
         bin_size=bin_size,
-        max_gti=max_gti,
         x0=x0,
         y0=y0,
         pi_lo=pi_band[0],
