@@ -77,3 +77,35 @@ def test_jit_grad_flow():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(t))) for t in flat)
     assert any(float(jnp.abs(t).max()) > 0 for t in flat)
+
+
+def test_registry_upscale_power_of_two():
+    """esr_gen stage count must be log2(scale): the reference's
+    int(scale/2) coincides at 2x/4x but built a 16x model for an 8x
+    config; non-power-of-two scales must be rejected at build time."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from xmm_superres_denoise_tpu.config import (
+        ModelCfg, OptimizerCfg, RrdbCfg,
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    def cfg():
+        return ModelCfg(
+            name="esr_gen", memory_efficient=False, batch_size=1,
+            model=RrdbCfg(base_model="esr_gen", filters=4, residual_blocks=1),
+            optimizer=OptimizerCfg(learning_rate=1e-4),
+        )
+
+    # 8x builds THREE x2 stages and outputs 8x (int(8/2)=4 gave 16x)
+    m8 = build_model(cfg(), (16, 16), (128, 128))
+    x = jnp.zeros((1, 16, 16, 1))
+    y = m8.apply(m8.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 128, 128, 1)
+
+    with pytest.raises(ValueError, match="power-of-two"):
+        build_model(cfg(), (16, 16), (96, 96))  # 6x
+    with pytest.raises(ValueError, match="power-of-two"):
+        build_model(cfg(), (16, 16), (16, 16))  # 1x (SR needs >= 2)

@@ -127,3 +127,46 @@ def test_swin_block_matches_torch(shift):
     }
     ref = _torch_swin_block(flat, x, h, w, dim, heads, ws, shift)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_zoo_rejects_unsupported_upsampler():
+    """DRCT/HAT only implement pixelshuffle reconstruction: requesting the
+    schema-legal '' (the SwinIR denoise-head selector) or
+    'pixelshuffledirect' must fail at build/trace time instead of silently
+    returning the un-upsampled embed-dim feature map (reference defect)."""
+    import pytest
+
+    from xmm_superres_denoise_tpu.config import (
+        ModelCfg, OptimizerCfg, TransformerCfg,
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    def cfg(name, upsampler):
+        return ModelCfg(
+            name=name, memory_efficient=False, batch_size=1,
+            model=TransformerCfg(
+                base_model=name, img_size=32, window_size=8, patch_size=8,
+                embed_dim=16, depths=[2], num_heads=[2], mlp_ratio=1.0,
+                upsampler=upsampler, in_channels=1,
+            ),
+            optimizer=OptimizerCfg(learning_rate=2e-4),
+        )
+
+    with pytest.raises(ValueError, match="pixelshuffle"):
+        build_model(cfg("drct", ""), (32, 32), (64, 64))
+
+
+def test_trunc_normal_matches_timm_std():
+    """timm trunc_normal_(std=0.02) truncates at ABSOLUTE +-2 (+-100
+    sigma), effectively untruncated; truncating at +-2*std shrinks the
+    sample std ~12% (regression)."""
+    import jax
+    import numpy as np
+
+    from xmm_superres_denoise_tpu.models.swin_common import trunc_normal_init
+
+    s = np.asarray(
+        trunc_normal_init(0.02)(jax.random.PRNGKey(0), (200_000,))
+    )
+    np.testing.assert_allclose(s.std(), 0.02, rtol=0.02)
+    assert np.abs(s).max() > 2.5 * 0.02  # tails beyond 2 sigma exist
