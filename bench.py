@@ -61,7 +61,7 @@ TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # 394 TOPS mode; the bf16 S2D path is compute-bound at ~93% of the 197 TF/s
 # peak, so int8 is the remaining serving lever, docs/PERFORMANCE.md).
 # Measured: int8-b32 142.8 / int8-b8 122 / s2d-b32 75 / s2d-b8 72 / xla 34.
-CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("xla", 8), ("s2d", 8)]
+CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("s2d", 8), ("xla", 8)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:
@@ -207,10 +207,12 @@ def _run_zoo_model(name: str, batch: int = 1) -> None:
         t0 = _time.perf_counter()
         float(fwd(params, xb))
         best = min(best, _time.perf_counter() - t0)
+    # geometry from the model, not hardcoded: Restormer serves 416->416
+    out_res = 416 * (2 if name != "restormer" else 1)
     print(
         _json.dumps(
             {
-                "metric": f"{name}_416to832_s_per_img",
+                "metric": f"{name}_416to{out_res}_s_per_img",
                 "value": round(best / batch, 3),
                 "unit": "s/img",
                 "compile_s": round(compile_s, 1),
@@ -319,42 +321,57 @@ def _launch_candidates(deadline: float) -> None:
                 print(f"bench: {key} error: {e}", file=sys.stderr)
 
 
-def main() -> None:
+def main(install_handlers: bool = True) -> None:
     import atexit
 
     deadline = time.monotonic() + DEADLINE_S
-    for s in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(s, _handle_term)
+    saved = {}
+    if install_handlers:
+        for s in (signal.SIGTERM, signal.SIGINT):
+            saved[s] = signal.signal(s, _handle_term)
     atexit.register(_emit_result)
 
-    _launch_candidates(deadline)
+    try:
+        _launch_candidates(deadline)
 
-    if not _results:
-        # Last resort: a short inline measurement so the driver always gets
-        # a JSON line (single warm forward, one readback).
-        try:
-            import jax
-            import jax.numpy as jnp
-            import numpy as np
+        if not _results:
+            # Last resort: a short inline measurement so the driver always
+            # gets a JSON line (single warm forward, one readback).
+            try:
+                import jax
+                import jax.numpy as jnp
+                import numpy as np
 
-            from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
+                from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
 
-            model = GeneratorRRDB_SR(num_filters=32, num_res_blocks=4,
-                                     num_upsample=1)
-            params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 1)))
-            params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
-            x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 416, 416, 1)),
-                            jnp.bfloat16)
-            fwd = jax.jit(lambda x: jnp.sum(
-                jnp.clip(model.apply(params, x), 0.0, 1.0).astype(jnp.float32)))
-            float(fwd(x))
-            t0 = time.perf_counter()
-            float(fwd(x))
-            _results["inline"] = 4 / (time.perf_counter() - t0)
-        except Exception as e:
-            raise SystemExit(f"no benchmark path succeeded: {e}")
+                model = GeneratorRRDB_SR(num_filters=32, num_res_blocks=4,
+                                         num_upsample=1)
+                params = model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 416, 416, 1)))
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16), params)
+                x = jnp.asarray(
+                    np.random.default_rng(0).uniform(0, 1, (4, 416, 416, 1)),
+                    jnp.bfloat16)
+                fwd = jax.jit(lambda x: jnp.sum(
+                    jnp.clip(model.apply(params, x), 0.0, 1.0)
+                    .astype(jnp.float32)))
+                float(fwd(x))
+                t0 = time.perf_counter()
+                float(fwd(x))
+                _results["inline"] = 4 / (time.perf_counter() - t0)
+            except Exception as e:
+                raise SystemExit(f"no benchmark path succeeded: {e}")
 
-    _emit_result()
+        _emit_result()
+    finally:
+        # an in-process caller (the contract tests) must get its handlers
+        # back — a leftover _handle_term would os._exit(0) the host process
+        # on a later Ctrl-C, skipping pytest teardown and faking success.
+        # Under the driver the handlers stay active until this point, which
+        # is after the JSON line is out.
+        for s, old in saved.items():
+            signal.signal(s, old)
 
 
 if __name__ == "__main__":

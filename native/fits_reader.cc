@@ -46,9 +46,15 @@ bool read_file(const char* path, Buffer* out) {
   fclose(f);
 
   if (fsize >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-    // gzip: inflate with growing output buffer
+    // gzip: inflate with growing output buffer. Allocation failures must
+    // return false (clean fallback to the pure-Python reader), never
+    // dereference null in the training hot loop.
     size_t cap = static_cast<size_t>(fsize) * 4 + kBlock;
     unsigned char* dst = static_cast<unsigned char*>(malloc(cap));
+    if (!dst) {
+      free(raw);
+      return false;
+    }
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) {
@@ -63,7 +69,15 @@ bool read_file(const char* path, Buffer* out) {
     while (ret != Z_STREAM_END) {
       if (total == cap) {
         cap *= 2;
-        dst = static_cast<unsigned char*>(realloc(dst, cap));
+        unsigned char* grown =
+            static_cast<unsigned char*>(realloc(dst, cap));
+        if (!grown) {
+          inflateEnd(&zs);
+          free(raw);
+          free(dst);
+          return false;
+        }
+        dst = grown;
       }
       zs.next_out = dst + total;
       zs.avail_out = static_cast<uInt>(cap - total);
@@ -154,7 +168,9 @@ int decode(const char* path, float* out, long capacity, long* h_out,
   if (!read_file(path, &buf)) return -1;
   HeaderInfo hdr;
   if (!parse_header(buf, &hdr)) return -2;
-  if (hdr.naxis < 2) return -3;
+  // parse_header only fills naxisn[0..7]; a corrupt NAXIS > 8 would walk
+  // off the array below.
+  if (hdr.naxis < 2 || hdr.naxis > 8) return -3;
   long w = hdr.naxisn[0], h = hdr.naxisn[1];
   long n = w * h;
   for (int i = 2; i < hdr.naxis; i++) n *= hdr.naxisn[i] ? hdr.naxisn[i] : 1;

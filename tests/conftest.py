@@ -16,8 +16,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except RuntimeError as e:  # backend already initialized (site-hook touch)
+    # Don't abort the whole collection: only the sharding/mesh tests need
+    # the 8-device fabric, and they assert the device count themselves.
+    import warnings
+
+    warnings.warn(f"could not reconfigure jax for the 8-device mesh: {e}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -97,24 +97,43 @@ def native_available() -> bool:
 
 
 def read_image_native(path: Path) -> Optional[np.ndarray]:
-    """Primary-HDU image as float32 (H, W); None if the native path fails."""
+    """Primary-HDU image as float32 (H, W); None if the native path fails.
+
+    ONE decode in the common case: a dims query costs a full gunzip too
+    (the C reader inflates before parsing), so probing dims first doubled
+    the dominant cost. Decode straight into a buffer sized for the largest
+    standard product (864^2 covers 832^2 and the native 411x403); only an
+    unexpectedly larger image pays a second, exactly-sized decode (the
+    reader reports dims even on the too-small rc)."""
     lib = get_lib()
     if lib is None:
         return None
     h = ctypes.c_long()
     w = ctypes.c_long()
     p = str(path).encode()
-    if lib.xmmsr_fits_dims(p, ctypes.byref(h), ctypes.byref(w)) != 0:
-        return None
-    out = np.empty((h.value, w.value), np.float32)
+    buf = np.empty(864 * 864, np.float32)
     rc = lib.xmmsr_fits_read(
         p,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.size,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buf.size,
         ctypes.byref(h),
         ctypes.byref(w),
     )
-    return out if rc == 0 else None
+    if rc == -4:  # larger than the guess: dims are set, retry exact
+        buf = np.empty(h.value * w.value, np.float32)
+        rc = lib.xmmsr_fits_read(
+            p,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.size,
+            ctypes.byref(h),
+            ctypes.byref(w),
+        )
+        if rc != 0:
+            return None
+        return buf.reshape(h.value, w.value)
+    if rc != 0:
+        return None
+    return buf[: h.value * w.value].reshape(h.value, w.value).copy()
 
 
 def read_batch_native(
