@@ -88,13 +88,8 @@ def worker(process_id: int, port: int) -> None:
           f"primary={is_primary()}", flush=True)
 
 
-def main() -> int:
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
+def _run_workers(port: int):
+    """Spawn both ranks against `port`; returns (ok, outs, last_stderr)."""
     procs = []
     for pid in (0, 1):
         env = dict(os.environ)
@@ -108,12 +103,34 @@ def main() -> int:
             )
         )
     outs = []
+    err = ""
+    ok = True
     for p in procs:
         out, err = p.communicate(timeout=600)
         if p.returncode != 0:
+            ok = False
+        outs.append(out)
+    return ok, outs, err
+
+
+def main() -> int:
+    import socket
+
+    # Ephemeral-port discovery is inherently racy (the socket must close
+    # before the coordinator can bind it), so retry with a fresh port if a
+    # collision steals it in the window.
+    outs = []
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        ok, outs, err = _run_workers(port)
+        if ok:
+            break
+        if "address" not in err.lower() or attempt == 2:
             print(err[-3000:], file=sys.stderr)
             return 1
-        outs.append(out)
+        print(f"port {port} stolen, retrying", file=sys.stderr)
     losses = set()
     for out in outs:
         for line in out.splitlines():

@@ -82,9 +82,11 @@ def main() -> None:
         def f(x):
             def body(i, acc):
                 y = fwd(x + acc.astype(x.dtype) * 1e-8)
-                return acc + jnp.sum(
-                    y[:, :2, :2, :].astype(jnp.float32)
-                ) * 1e-24
+                # FULL reduction: a slice readback would let XLA narrow
+                # ONLY the HLO reference (the Pallas call is opaque),
+                # biasing the comparison toward "xla" (DCE trap,
+                # device_calibrate.py).
+                return acc + jnp.sum(y.astype(jnp.float32)) * 1e-24
 
             return lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 

@@ -56,6 +56,36 @@ def main() -> None:
 
     print("devices:", jax.devices(), flush=True)
     work = Path(tempfile.mkdtemp(prefix="xmmsr_conv_"))
+    try:
+        _run(work)
+    finally:
+        # the 400-epoch checkpoint_root accumulates GBs; everything worth
+        # keeping was copied to docs/convergence/ already
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run(work: Path) -> None:
+    import json
+
+    import jax
+
+    from xmm_superres_denoise_tpu.config import (
+        DatasetCfg,
+        HrDatasetCfg,
+        LossCfg,
+        LrDatasetCfg,
+        MeshCfg,
+        ModelCfg,
+        OptimizerCfg,
+        RrdbCfg,
+        TrainerCfg,
+    )
+    from xmm_superres_denoise_tpu.data import XmmDataModule
+    from xmm_superres_denoise_tpu.train import Trainer, create_loss
+    from xmm_superres_denoise_tpu.train.loss import load_scaling_tables
+
     root, name = work / "data", "simds"
     # DN geometry: 20 ks LR, 50 ks HR, both 1x (XMM-DeNoise production task)
     for exp in ("20ks", "50ks"):

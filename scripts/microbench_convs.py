@@ -22,7 +22,11 @@ def time_conv(batch, hw, cin, cout, dtype=jnp.bfloat16, chain=20, reps=3):
         def body(i, carry):
             acc, x = carry
             y = lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
-            acc = acc + jnp.sum(y[:, :1, :1, :].astype(jnp.float32)) * 1e-20
+            # FULL reduction — consuming a slice lets XLA narrow the conv
+            # to the consumed patch (the documented DCE trap,
+            # device_calibrate.py): earlier revisions of this script read
+            # y[:, :1, :1, :] and reported >peak TF/s.
+            acc = acc + jnp.sum(y.astype(jnp.float32)) * 1e-20
             # feed a perturbed input back so iterations can't be elided/hoisted
             x2 = x + acc.astype(x.dtype) * 1e-9
             return acc, x2

@@ -1,5 +1,6 @@
 """Native C FITS decoder vs the pure-Python reader (bit-exact)."""
 
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -29,7 +30,9 @@ def test_native_matches_python_synthetic(tmp_path):
         (np.float32, "f32.fits.gz"),
         (np.float64, "f64.fits"),
     ]:
-        g = np.random.default_rng(hash(name) & 0xFFFF)
+        # not hash(name): str hashes are salted per interpreter run, making
+        # any failure irreproducible on rerun
+        g = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFF)
         if np.issubdtype(dtype, np.integer):
             data = g.integers(-100, 1000, (37, 53)).astype(dtype)
         else:

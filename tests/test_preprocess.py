@@ -68,8 +68,16 @@ def test_crop_center_and_boresight():
     top_p, left_p = crop_fractions("boresight", 0.25)
     out = crop(img, 0.25, top_p, left_p)
     assert out.shape == (102, 100)
-    # boresight crop is centred on (y=224, x=244)
-    assert abs((int(0.25 * 411) // 2 + int((224 / 411 - 0.125) * 411)) - 224) <= 1
+    # boresight crop is centred on (y=224, x=244): compare the CONTENT
+    # against the expected slice (the old assertion was a constant
+    # arithmetic identity that never inspected `out`)
+    y0 = int((224 / 411 - 0.125) * 411)
+    x0 = int((244 / 403 - 0.125) * 403)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(img)[y0 : y0 + 102, x0 : x0 + 100]
+    )
+    cy, cx = y0 + 102 // 2, x0 + 100 // 2
+    assert abs(cy - 224) <= 1 and abs(cx - 244) <= 1
 
 
 def test_fused_preprocess():

@@ -138,13 +138,23 @@ def test_make_gti_pps_with_cap(fake_sas, tmp_path, monkeypatch):
     # the tabgtigen command carried the PPS threshold expression
     tab = [c for c in fake_sas.calls if c[0] == "tabgtigen"]
     assert tab and any("expression=RATE<=0.5" in a for a in tab[0])
-    # capped GTI: exposure accumulates to <= ~max_expo (overshoot quirk
-    # preserved, ops/events.py:cap_gti_exposure)
+    # capped GTI: must equal cap_gti_exposure applied to the fake
+    # tabgtigen intervals — NOT merely <= the uncapped total (the old
+    # bound of 20 ks was vacuous: the uncapped 19 ks already satisfied it,
+    # so a dropped cap would have passed)
     from xmm_superres_denoise_tpu.io.fits import read_bintable
+    from xmm_superres_denoise_tpu.ops.events import GTI, cap_gti_exposure
 
     cols, _ = read_bintable(gtis[0], columns=["START", "STOP"],
                             extname="STDGTI")
-    assert (cols["STOP"] - cols["START"]).sum() <= 20_000.0
+    total = float((cols["STOP"] - cols["START"]).sum())
+    # the fake tabgtigen writes (0, 4000) + (5000, 20000) — see fixture
+    uncapped = GTI(np.array([0.0, 5000.0]), np.array([4000.0, 20000.0]))
+    expected = cap_gti_exposure(uncapped, 10.0)
+    assert total == pytest.approx(
+        float((expected.stop - expected.start).sum())
+    )
+    assert total < float((uncapped.stop - uncapped.start).sum())
 
 
 def test_get_pps_nxsa_download_and_extract(tmp_path):

@@ -349,12 +349,26 @@ def test_loader_reproducible_and_thread_cleanup(trainer, tmp_path):
     c = [np.asarray(b["lr"]).sum() for b in dm.loader("train", epoch=2)]
     assert not np.allclose(a, c), "different epochs should reshuffle"
 
-    before = threading.active_count()
+    import time
+
+    def _drained_count(limit: float = 10.0) -> int:
+        # earlier loaders' producers exit asynchronously: wait for a
+        # stable count so the baseline isn't inflated (which would mask
+        # a genuine leak from the abandoned generator below)
+        deadline = time.time() + limit
+        n = threading.active_count()
+        while time.time() < deadline:
+            time.sleep(0.2)
+            m = threading.active_count()
+            if m == n:
+                return m
+            n = m
+        return n
+
+    before = _drained_count()
     gen = dm.loader("train", epoch=3)
     next(gen)
     gen.close()  # abandon mid-epoch (simulates a crashed train step)
-    import time
-
     deadline = time.time() + 10.0
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
