@@ -23,6 +23,9 @@ def _load_bench():
 
 def test_bench_main_selects_fastest_and_prints_contract(monkeypatch, capsys):
     bench = _load_bench()
+    # hermetic: the real probe subprocess would touch the (axon) TPU —
+    # shell-level JAX_PLATFORMS=cpu is not honored on that runtime
+    monkeypatch.setattr(bench, "_probe_backend", lambda deadline: True)
     results = {"xla-b8": 30.0, "s2d-b8": 70.0, "int8-b8": 110.0,
                "int8-b32": 140.0, "s2d-b32": 75.0}
 
@@ -71,6 +74,45 @@ def test_bench_deadline_emits_best_so_far(monkeypatch, capsys):
     assert len(lines) == 1
     assert json.loads(lines[0])["value"] == 123.0
     assert "deadline" in out.err
+
+
+def test_bench_backend_unreachable_emits_honest_zero(monkeypatch, capsys):
+    """Chip-down scenario (mid-round-3 tunnel outage): the probe fails, no
+    candidate is launched (each would burn its budget on a hung device
+    init), and the driver still gets one parseable JSON line — an honest
+    zero with a note — instead of rc=124/parsed=null."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_backend", lambda deadline: False)
+
+    def must_not_launch(*a, **k):
+        raise AssertionError("candidate launched with backend down")
+
+    monkeypatch.setattr(bench, "_run_candidate", must_not_launch)
+    bench.main()
+    out = capsys.readouterr()
+    lines = [l for l in out.out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.out
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "sr_416to832_tiles_per_sec"
+    assert payload["value"] == 0.0
+    assert "unreachable" in payload["note"]
+
+
+def test_probe_backend_gives_up_before_deadline(monkeypatch):
+    """A hung device init (TimeoutExpired) stops retrying once too little
+    deadline remains for a post-probe candidate window."""
+    bench = _load_bench()
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(k.get("timeout"))
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=k.get("timeout"))
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    t0 = time.monotonic()
+    assert bench._probe_backend(t0 + 100.0) is False
+    assert len(calls) == 1  # remaining < 360s after one failure: no retry
+    assert time.monotonic() - t0 < 10.0  # no sleep spent
 
 
 def test_bench_sigterm_kill_path_delivers_json():
