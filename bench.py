@@ -317,7 +317,7 @@ def _probe_backend(deadline: float) -> bool:
             ).returncode
             if rc == 0:
                 return True
-        except subprocess.TimeoutExpired:
+        except Exception:  # TimeoutExpired, or any spawn failure
             pass
         print(f"bench: backend probe {attempt} failed", file=sys.stderr)
         # keep retrying only while a post-probe candidate window (compile
