@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.fits import Header, read_bintable
+from ..io.native_bintable import read_bintable_fast
 
 Array = jnp.ndarray
 
@@ -213,7 +214,9 @@ class EventList:
 
 
 def load_event_list(path: Path) -> EventList:
-    cols, hdr = read_bintable(
+    # Native C column reader when available (multithreaded single-pass
+    # decode, native/fits_reader.cc); transparent pure-Python fallback.
+    cols, hdr = read_bintable_fast(
         path,
         columns=["TIME", "DETX", "DETY", "PI", "PATTERN", "FLAG", "X", "Y"],
         extname="EVENTS",
