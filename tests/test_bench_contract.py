@@ -115,6 +115,44 @@ def test_probe_backend_gives_up_before_deadline(monkeypatch):
     assert time.monotonic() - t0 < 10.0  # no sleep spent
 
 
+def test_launch_floor_scales_with_lead_duration():
+    """Confirmation launches are gated on a window scaled to the observed
+    lead-candidate duration (warm ~2 min vs cold ~13 min differ 6x); with
+    no result yet, any leftover window is spent hunting one."""
+    bench = _load_bench()
+    assert bench._launch_floor(0.0, False) == 30.0
+    assert bench._launch_floor(120.0, True) == max(90.0, 0.8 * 120.0)
+    assert bench._launch_floor(780.0, True) == 0.8 * 780.0  # cold lead
+    assert bench._launch_floor(10.0, True) == 90.0  # fast lead: keep floor
+
+
+def test_seed_cache_links_tracked_entries(monkeypatch, tmp_path):
+    """res/bench_cache (tracked) seeds the live compile-cache dir so a fresh
+    checkout still runs the lead candidate warm."""
+    bench = _load_bench()
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "jit_chain_fn-abc-cache").write_bytes(b"compiled-blob")
+    (seed / "sub").mkdir()  # non-files must be skipped, not crash
+    live = tmp_path / "live"  # created by the seeder
+    monkeypatch.setattr(bench, "_SEED_CACHE", str(seed))
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(live))
+    bench._seed_cache()
+    assert (live / "jit_chain_fn-abc-cache").read_bytes() == b"compiled-blob"
+    # idempotent: existing entries are left alone
+    (live / "jit_chain_fn-abc-cache").write_bytes(b"newer")
+    bench._seed_cache()
+    assert (live / "jit_chain_fn-abc-cache").read_bytes() == b"newer"
+
+
+def test_seed_cache_absent_dir_is_noop(monkeypatch, tmp_path):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_SEED_CACHE", str(tmp_path / "nope"))
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "live"))
+    bench._seed_cache()  # must not raise or create anything
+    assert not (tmp_path / "live").exists()
+
+
 def test_bench_sigterm_kill_path_delivers_json():
     """End-to-end: a SIGTERM mid-run (the driver's timeout behavior that ate
     BENCH_r02) still yields rc=0 and one parseable JSON line."""

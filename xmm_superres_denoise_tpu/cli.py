@@ -234,10 +234,43 @@ def cmd_infer(args) -> int:
 
 def cmd_serve(args) -> int:
     """Batched production serving: a set of detxy FITS files through ONE
-    warm engine (pipelined predict_tiles) -> per-file product pairs."""
+    warm engine (pipelined predict_tiles) -> per-file product pairs.
+    With --watch, the positional args are directories polled as a daemon
+    (watch_and_serve): new stable files are served as they appear."""
     import glob as _glob
 
     from .infer.run_file import serve_files
+
+    if args.watch:
+        import signal as _signal
+        import threading
+
+        from .infer.run_file import watch_and_serve
+
+        dirs = [Path(p) for p in args.fits]
+        missing = [str(d) for d in dirs if not d.is_dir()]
+        if missing:
+            log.error("serve --watch: not directories: %s", missing)
+            return 2
+        engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
+        stop = threading.Event()
+        for s in (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(s, lambda *_: stop.set())
+        log.info("serve --watch: polling %s every %.1fs (SIGTERM stops)",
+                 [str(d) for d in dirs], args.poll)
+        n = watch_and_serve(
+            dirs, engine, Path(args.out),
+            hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
+            model_name=m_cfg.name.value,
+            batch_size=args.batch,
+            poll_s=args.poll,
+            state_path=args.state,
+            stop=stop,
+            plot=args.plot,
+        )
+        save_scales()
+        print(json.dumps({"served": n}))
+        return 0
 
     files: list = []
     unmatched: list = []
@@ -419,6 +452,15 @@ def main(argv=None) -> int:
     p.add_argument("--int8_scales", type=Path, default=None,
                    help="calibrated-scales JSON: loaded if it exists, "
                         "written after first-batch calibration otherwise")
+    p.add_argument("--watch", action="store_true",
+                   help="daemon mode: treat the positional args as "
+                        "directories and serve new stable FITS files as "
+                        "they appear (SIGTERM stops cleanly)")
+    p.add_argument("--poll", type=float, default=2.0,
+                   help="watch poll interval seconds")
+    p.add_argument("--state", type=Path, default=None,
+                   help="watch served-set JSON: restartable daemons skip "
+                        "already-served files")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")

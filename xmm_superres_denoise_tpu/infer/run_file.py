@@ -10,6 +10,7 @@ FITS products.
 
 from __future__ import annotations
 
+import json
 import logging
 from pathlib import Path
 from typing import Optional, Tuple
@@ -396,6 +397,116 @@ def serve_files(
                     out_stem=stems[i],
                 )
     return results
+
+
+def watch_and_serve(
+    watch_dirs,
+    engine: InferenceEngine,
+    out_path: Path,
+    hr_exp_ks: float,
+    model_name: str,
+    batch_size: int = 32,
+    poll_s: float = 2.0,
+    pattern: str = "*.fits*",
+    state_path: Optional[Path] = None,
+    stop=None,
+    max_polls: Optional[int] = None,
+    plot: bool = False,
+) -> int:
+    """Directory-watching serving daemon over ONE warm engine.
+
+    The long-running counterpart of `serve_files` (production mode: a
+    pipeline drops detxy FITS files into a directory; products appear in
+    `out_path`). Semantics:
+
+    * A file is picked up only once its (size, mtime) is UNCHANGED between
+      two consecutive polls — a writer mid-copy is left for the next poll.
+    * Work identity is (path, size, mtime): an overwritten input is served
+      again; a re-poll of an already-served file is not.
+    * `state_path` persists the served-set as JSON so a restarted daemon
+      does not reprocess history (atomic replace per batch).
+    * A batch failure falls back to per-file serving so one corrupt input
+      cannot wedge the queue; the bad file is recorded as failed (served
+      state) and skipped thereafter, matching `serve_files`' contract that
+      good inputs always produce products.
+    * `stop` (a threading.Event) ends the loop at the next poll boundary;
+      `max_polls` bounds it for tests. Returns the number of files served.
+    """
+    import threading
+
+    watch_dirs = [Path(d) for d in (
+        watch_dirs if isinstance(watch_dirs, (list, tuple)) else [watch_dirs]
+    )]
+    stop = stop or threading.Event()
+
+    served: dict = {}
+    if state_path is not None and Path(state_path).exists():
+        try:
+            served = json.loads(Path(state_path).read_text())
+        except (OSError, ValueError) as e:
+            log.warning("watch: unreadable state %s (%s); starting fresh",
+                        state_path, e)
+
+    def _key(p: Path, st) -> str:
+        return f"{p}|{st.st_size}|{st.st_mtime_ns}"
+
+    def _persist() -> None:
+        if state_path is None:
+            return
+        tmp = Path(str(state_path) + ".tmp")
+        tmp.write_text(json.dumps(served))
+        tmp.replace(state_path)
+
+    n_served = 0
+    pending: dict = {}  # path -> (size, mtime_ns) seen last poll
+    polls = 0
+    while not stop.is_set() and (max_polls is None or polls < max_polls):
+        polls += 1
+        snapshot: dict = {}
+        for d in watch_dirs:
+            for f in sorted(d.glob(pattern)):
+                try:
+                    st = f.stat()
+                except OSError:
+                    continue  # vanished between glob and stat
+                if _key(f, st) in served:
+                    continue
+                snapshot[f] = (st.st_size, st.st_mtime_ns, _key(f, st))
+
+        ready = [
+            f for f, (size, mt, _) in snapshot.items()
+            if pending.get(f) == (size, mt)
+        ]
+        if ready:
+            try:
+                serve_files(
+                    ready, engine, out_path, hr_exp_ks, model_name,
+                    batch_size=batch_size, plot=plot,
+                )
+                for f in ready:
+                    served[snapshot[f][2]] = "ok"
+                n_served += len(ready)
+            except Exception as batch_err:  # isolate the bad input
+                log.warning("watch: batch failed (%s); serving per-file",
+                            batch_err)
+                for f in ready:
+                    try:
+                        serve_files(
+                            [f], engine, out_path, hr_exp_ks, model_name,
+                            batch_size=batch_size, plot=plot,
+                        )
+                        served[snapshot[f][2]] = "ok"
+                        n_served += 1
+                    except Exception as e:
+                        log.error("watch: %s failed permanently: %s", f, e)
+                        served[snapshot[f][2]] = f"error: {e}"
+            _persist()
+
+        pending = {f: (size, mt) for f, (size, mt, _) in snapshot.items()}
+        if stop.is_set() or (max_polls is not None and polls >= max_polls):
+            break
+        stop.wait(poll_s)
+    return n_served
 
 
 def write_products(
