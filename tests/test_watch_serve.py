@@ -172,6 +172,65 @@ def test_watch_new_arrivals_between_polls(tmp_path):
     assert any("b_" in x or x.startswith("b") for x in names)
 
 
+def test_cli_serve_watch_drain_mode(tmp_path):
+    """`serve --watch --max_polls N` through the real CLI: directories are
+    polled, stable files served, one `{"served": n}` JSON line printed, and
+    the state file makes a second drain a no-op."""
+    import contextlib
+    import io
+
+    import jax.numpy as jnp
+
+    from xmm_superres_denoise_tpu.cli import main
+    from xmm_superres_denoise_tpu.infer.onnx_import import export_onnx_params
+    from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
+
+    model = GeneratorRRDB_SR(num_filters=32, num_res_blocks=4, num_upsample=1)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ckpt = export_onnx_params(template, tmp_path / "weights.onnx")
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    g = np.random.default_rng(0)
+    hdr = {"EXPOSURE": 20_000.0, "CRPIX1": 10.0, "CRPIX2": 12.0,
+           "CRVAL1": 150.0, "CRVAL2": 2.0, "CDELT1": -0.001111,
+           "CDELT2": 0.001111, "PA_PNT": 65.0}
+    write_image(watch / "det0.fits", g.poisson(2.0, (28, 30)).astype(np.int32),
+                header=hdr)
+
+    from tests.test_cli import _write_run_config
+
+    run = _write_run_config(tmp_path)
+    args = [
+        "serve", str(watch),
+        "--checkpoint", str(ckpt), "--out", str(tmp_path / "out"),
+        "--run_config", str(run), "--batch", "2",
+        "--watch", "--poll", "0.01", "--max_polls", "3",
+        "--state", str(tmp_path / "state.json"),
+    ]
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(args)
+    assert rc == 0
+    assert json.loads(out.getvalue().strip().splitlines()[-1]) == {"served": 1}
+    assert len(sorted((tmp_path / "out").glob("*predict*.fits.gz"))) == 1
+
+    # drain again: state file skips history
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(args)
+    assert rc == 0
+    assert json.loads(out.getvalue().strip().splitlines()[-1]) == {"served": 0}
+
+    # a positional that is not a directory fails fast with rc=2
+    rc = main([
+        "serve", str(watch / "det0.fits"),
+        "--checkpoint", str(ckpt), "--out", str(tmp_path / "out2"),
+        "--run_config", str(run), "--watch",
+    ])
+    assert rc == 2
+
+
 def test_watch_isolates_corrupt_input(tmp_path):
     engine, _ = _engine()
     watch = tmp_path / "in"

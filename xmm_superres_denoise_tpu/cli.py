@@ -254,20 +254,29 @@ def cmd_serve(args) -> int:
             return 2
         engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
         stop = threading.Event()
-        for s in (_signal.SIGTERM, _signal.SIGINT):
-            _signal.signal(s, lambda *_: stop.set())
+        prev = {
+            s: _signal.signal(s, lambda *_: stop.set())
+            for s in (_signal.SIGTERM, _signal.SIGINT)
+        }
         log.info("serve --watch: polling %s every %.1fs (SIGTERM stops)",
                  [str(d) for d in dirs], args.poll)
-        n = watch_and_serve(
-            dirs, engine, Path(args.out),
-            hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
-            model_name=m_cfg.name.value,
-            batch_size=args.batch,
-            poll_s=args.poll,
-            state_path=args.state,
-            stop=stop,
-            plot=args.plot,
-        )
+        try:
+            n = watch_and_serve(
+                dirs, engine, Path(args.out),
+                hr_exp_ks=float(
+                    ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]
+                ),
+                model_name=m_cfg.name.value,
+                batch_size=args.batch,
+                poll_s=args.poll,
+                state_path=args.state,
+                stop=stop,
+                max_polls=args.max_polls,
+                plot=args.plot,
+            )
+        finally:  # in-process callers (tests, notebooks) keep their handlers
+            for s, h in prev.items():
+                _signal.signal(s, h)
         save_scales()
         print(json.dumps({"served": n}))
         return 0
@@ -461,6 +470,10 @@ def main(argv=None) -> int:
     p.add_argument("--state", type=Path, default=None,
                    help="watch served-set JSON: restartable daemons skip "
                         "already-served files")
+    p.add_argument("--max_polls", type=int, default=None,
+                   help="watch drain mode: exit after N polls instead of "
+                        "running forever (e.g. 2 = one stability check + "
+                        "one serve pass; for cron-style batch drains)")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
