@@ -311,6 +311,35 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_http(args) -> int:
+    """HTTP inference service: POST detxy FITS -> WCS product bytes from
+    ONE warm engine (infer/http_server.py). SIGTERM/SIGINT stop cleanly."""
+    import signal as _signal
+    import threading
+
+    from .infer.http_server import run_http_server
+
+    engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
+    stop = threading.Event()
+    prev = {
+        s: _signal.signal(s, lambda *_: stop.set())
+        for s in (_signal.SIGTERM, _signal.SIGINT)
+    }
+    try:
+        server = run_http_server(
+            args.host, args.port, engine,
+            hr_exp_ks=float(ds_cfg.hr.exp if ds_cfg.hr else ds_cfg.lr.exps[0]),
+            model_name=m_cfg.name.value,
+            stop=stop,
+        )
+    finally:
+        for s, h in prev.items():
+            _signal.signal(s, h)
+    save_scales()
+    print(json.dumps({"served": server.stats()}))
+    return 0
+
+
 def cmd_end2end(args) -> int:
     """obsid PPS dir -> detxy -> SR/DN products (reference
     inference_end2end_obsid.py equivalent)."""
@@ -475,6 +504,26 @@ def main(argv=None) -> int:
                         "running forever (e.g. 2 = one stability check + "
                         "one serve pass; for cron-style batch drains)")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser(
+        "http",
+        help="HTTP inference service: POST a detxy FITS to /infer, get the "
+             "WCS product back (GET /healthz, /stats)",
+    )
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (0.0.0.0 to expose)")
+    p.add_argument("--port", type=int, default=8572,
+                   help="TCP port (0 picks a free one)")
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--run_config", type=Path, required=True)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode (f32 is the parity mode)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 quantized serving (RRDB models)")
+    p.add_argument("--int8_scales", type=Path, default=None,
+                   help="calibrated-scales JSON: loaded if it exists, "
+                        "written after first-batch calibration otherwise")
+    p.set_defaults(func=cmd_http)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
     p.add_argument("--checkpoint", type=Path, required=True,
