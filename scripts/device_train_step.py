@@ -43,15 +43,30 @@ def main() -> None:
         "plain+remat": lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0),
         "s2d+remat": make_s2d_train_apply(model, remat=True),
     }
+    # f32 vs bf16-mixed (trainer.precision="bf16": bf16 forward/backward,
+    # f32 master params/loss/optimizer — train/steps.py contract)
+    variants = [
+        (name + suffix, apply_fn, dtype)
+        for name, apply_fn in applies.items()
+        for suffix, dtype in (("", None), ("+bf16", jnp.bfloat16))
+    ]
 
-    for name, apply_fn in applies.items():
+    from xmm_superres_denoise_tpu.train.steps import _cast_floating
+
+    for name, apply_fn, dtype in variants:
         state = TrainState.create(params, tx)
 
         @jax.jit
         def steps_fn(state, lr, hr):
             def one(state, _):
                 def loss(p):
-                    return loss_fn(apply_fn(p, lr), hr)
+                    x = lr
+                    if dtype is not None:
+                        p = _cast_floating(p, dtype)
+                        x = lr.astype(dtype)
+                    return loss_fn(
+                        apply_fn(p, x).astype(jnp.float32), hr
+                    )
 
                 l, grads = jax.value_and_grad(loss)(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state,

@@ -214,11 +214,24 @@ class TrainerCfg(BaseModel):
     epochs: PositiveInt = 50
     log_images_every_n_epochs: NonNegativeInt = 0
     seed: int = 0
+    # Training compute precision: "bf16" runs the model forward/backward in
+    # bfloat16 with f32 master params/loss/optimizer (TPU mixed precision —
+    # the MXU's 2x-rate mode; no loss scaling needed). Lightning-style
+    # spellings ("32", 32, "bf16-mixed") are normalized by the validator.
+    precision: Literal["f32", "bf16"] = "f32"
     # Legacy reference keys accepted for config compatibility (train.py:141-155).
     # `strategy="fsdp"` is honored: it defaults the mesh to a 2-way fsdp axis
     # when the mesh section didn't already shard params (see validator).
     strategy: Literal["auto", "ddp", "fsdp"] = "auto"
     devices: Union[PositiveInt, Literal["auto"]] = "auto"
+
+    @field_validator("precision", mode="before")
+    @classmethod
+    def _norm_precision(cls, v):
+        return {
+            "32": "f32", 32: "f32", "32-true": "f32", "fp32": "f32",
+            "bf16-mixed": "bf16", "bf16-true": "bf16",
+        }.get(v, v)
 
     @model_validator(mode="after")
     def _honor_legacy_strategy(self):

@@ -154,13 +154,23 @@ class Trainer:
         # reference's FSDPStrategy use-case, train.py:142-146); fsdp == 1 is
         # the explicit shard_map DP step.
         self._fsdp = int(self.mesh.shape.get(FSDP_AXIS, 1)) > 1
+        # trainer.precision="bf16": bf16 forward/backward, f32 master
+        # params/loss/optimizer (steps.py mixed-precision contract). Eval
+        # steps always run f32 — metrics are the parity surface.
+        self._compute_dtype = (
+            jnp.bfloat16
+            if getattr(trainer_config, "precision", "f32") == "bf16"
+            else None
+        )
         if self._fsdp:
             self._train_step = make_fsdp_train_step(
-                self._apply, self.loss_fn, self.tx
+                self._apply, self.loss_fn, self.tx,
+                compute_dtype=self._compute_dtype,
             )
         else:
             self._train_step = make_train_step(
-                self._apply, self.loss_fn, self.tx, self.mesh
+                self._apply, self.loss_fn, self.tx, self.mesh,
+                compute_dtype=self._compute_dtype,
             )
 
         # Epoch image logging (reference ImageLogger, rebuilt — see

@@ -39,6 +39,15 @@ Array = jnp.ndarray
 Batch = Dict[str, Array]
 
 
+def _cast_floating(tree: Any, dtype) -> Any:
+    """Cast every floating leaf of a pytree (mixed-precision compute copy)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 class TrainState(NamedTuple):
     """Minimal functional train state (params + optimizer state + step)."""
 
@@ -57,6 +66,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     donate: bool = True,
+    compute_dtype: Optional[Any] = None,
 ):
     """Build the jitted data-parallel train step.
 
@@ -64,6 +74,15 @@ def make_train_step(
     The update is the weighted mean of per-sample gradients over all real
     (weight>0) samples — Lightning-DDP's mean-of-gradients semantics, made
     invariant to the loader's divisibility padding.
+
+    `compute_dtype=jnp.bfloat16` enables TPU mixed-precision training:
+    master params, loss, gradients, and the optax update all stay f32
+    (bf16 shares f32's exponent range, so no loss scaling is needed), and
+    only the model forward/backward runs in bf16 — the params are cast
+    INSIDE the differentiated function, so autodiff emits f32 cotangents
+    at the cast boundary. The reference's GPU trainer has no equivalent
+    (Lightning `precision` is never set, train.py:148-155); on the MXU
+    bf16 matmuls/convs run at twice the f32 rate.
     """
 
     def _shard_step(
@@ -86,7 +105,11 @@ def make_train_step(
         wsum = lax.psum(jnp.sum(w), DATA_AXIS)
 
         def loss_of(p):
-            preds = apply_fn(p, lr)
+            x = lr
+            if compute_dtype is not None:
+                p = _cast_floating(p, compute_dtype)
+                x = lr.astype(compute_dtype)
+            preds = apply_fn(p, x).astype(jnp.float32)  # loss stays f32
             per_sample = jax.vmap(lambda pr, t: loss_fn(pr[None], t[None]))(
                 preds, hr
             )
@@ -197,6 +220,7 @@ def make_fsdp_train_step(
     apply_fn: Callable[[Any, Array], Array],
     loss_fn: Callable[[Array, Array], Array],
     tx: optax.GradientTransformation,
+    compute_dtype: Optional[Any] = None,
 ):
     """GSPMD (jit + NamedSharding propagation) train step for FSDP-style runs.
 
@@ -214,7 +238,13 @@ def make_fsdp_train_step(
             w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
 
         def loss_of(p):
-            preds = apply_fn(p, batch["lr"])
+            x = batch["lr"]
+            if compute_dtype is not None:
+                # mixed precision: bf16 forward/backward, f32 everything
+                # else (see make_train_step's docstring)
+                p = _cast_floating(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            preds = apply_fn(p, x).astype(jnp.float32)
             per_sample = jax.vmap(lambda pr, t: loss_fn(pr[None], t[None]))(
                 preds, batch["hr"]
             )
