@@ -219,6 +219,11 @@ class TrainerCfg(BaseModel):
     # the MXU's 2x-rate mode; no loss scaling needed). Lightning-style
     # spellings ("32", 32, "bf16-mixed") are normalized by the validator.
     precision: Literal["f32", "bf16"] = "f32"
+    # Lightning's accumulate_grad_batches: k loader batches per optimizer
+    # step, exactly equivalent to one k-times-larger batch (weighted-mean
+    # loss algebra; train/steps.py:make_accum_steps) at the memory cost of
+    # one extra gradient pytree.
+    accumulate_grad_batches: PositiveInt = 1
     # Legacy reference keys accepted for config compatibility (train.py:141-155).
     # `strategy="fsdp"` is honored: it defaults the mesh to a 2-way fsdp axis
     # when the mesh section didn't already shard params (see validator).

@@ -39,6 +39,8 @@ from .loss import LossFn
 from .steps import (
     TrainState,
     make_eval_step,
+    accum_add,
+    make_accum_steps,
     make_fsdp_train_step,
     make_train_step,
 )
@@ -162,7 +164,20 @@ class Trainer:
             if getattr(trainer_config, "precision", "f32") == "bf16"
             else None
         )
-        if self._fsdp:
+        # Lightning's accumulate_grad_batches: k loader batches feed one
+        # optimizer step via the exact (grads, loss, weight)-sum algebra
+        # (steps.py:make_accum_steps); k=1 keeps the fused one-shot steps.
+        self._accum = int(
+            getattr(trainer_config, "accumulate_grad_batches", 1)
+        )
+        if self._accum > 1:
+            self._grad_step, self._apply_step = make_accum_steps(
+                self._apply, self.loss_fn, self.tx,
+                mesh=None if self._fsdp else self.mesh,
+                compute_dtype=self._compute_dtype,
+            )
+            self._train_step = None
+        elif self._fsdp:
             self._train_step = make_fsdp_train_step(
                 self._apply, self.loss_fn, self.tx,
                 compute_dtype=self._compute_dtype,
@@ -367,8 +382,20 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_losses = []
+            acc = None
+            n_acc = 0
             for batch in self.dm.loader("train", mesh=self.mesh, epoch=epoch):
-                state, loss = self._train_step(state, batch)
+                if self._accum > 1:
+                    acc = accum_add(
+                        acc, self._grad_step(state.params, batch)
+                    )
+                    n_acc += 1
+                    if n_acc < self._accum:
+                        continue
+                    state, loss = self._apply_step(state, *acc)
+                    acc, n_acc = None, 0
+                else:
+                    state, loss = self._train_step(state, batch)
                 self._live_state = state  # crash-snapshot source (fit())
                 train_losses.append(loss)
                 # Periodic host mirror: the freshest state device_get can
@@ -379,6 +406,12 @@ class Trainer:
                 if now - self._host_snapshot_t >= _SNAPSHOT_INTERVAL_S:
                     self._host_snapshot = jax.device_get(state)
                     self._host_snapshot_t = now
+            if acc is not None:
+                # tail group shorter than accumulate_grad_batches still
+                # steps (Lightning semantics: no gradient is dropped)
+                state, loss = self._apply_step(state, *acc)
+                self._live_state = state
+                train_losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(train_losses))) if train_losses else float("nan")
 
             val_logs = self._run_eval(

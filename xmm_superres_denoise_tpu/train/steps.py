@@ -139,6 +139,96 @@ def make_train_step(
     return train_step
 
 
+def make_accum_steps(
+    apply_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array, Array], Array],
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    compute_dtype: Optional[Any] = None,
+    donate: bool = True,
+):
+    """(grad_step, apply_step) pair for gradient accumulation.
+
+    The reference's Lightning trainer exposes `accumulate_grad_batches`;
+    this is its TPU-native equivalent, EXACT w.r.t. one big batch: the
+    loss is the weighted mean over samples, so accumulating the
+    (numerator-gradient, loss-sum, weight-sum) triple over micro-batches
+    and dividing once reproduces the big-batch update bit-for-bit modulo
+    f32 summation order (pinned by tests/test_grad_accum.py). Memory cost
+    over a plain step is one params-sized f32 gradient pytree.
+
+      grad_step(params, batch) -> (grads_sum, loss_sum, weight_sum)
+          global (cross-shard) sums of d/dp [sum_i w_i loss_i], of
+          sum_i w_i loss_i, and of sum_i w_i for this micro-batch.
+      apply_step(state, grads_sum, loss_sum, weight_sum)
+          -> (state, mean_loss): divide, optax update, apply.
+
+    With `mesh`, grad_step runs as a shard_map over the data axis (the DP
+    path — autodiff inserts the cross-shard psum for the replicated
+    params, see make_train_step's collective subtlety note); without, it
+    is a plain jit for the GSPMD/FSDP path (sharding propagation handles
+    the reductions). `compute_dtype` applies the same mixed-precision
+    contract as make_train_step.
+    """
+
+    def _micro(params, lr, hr, w, *, psum: bool):
+        def loss_of(p):
+            x = lr
+            if compute_dtype is not None:
+                p = _cast_floating(p, compute_dtype)
+                x = lr.astype(compute_dtype)
+            preds = apply_fn(p, x).astype(jnp.float32)
+            per_sample = jax.vmap(lambda pr, t: loss_fn(pr[None], t[None]))(
+                preds, hr
+            )
+            return jnp.sum(per_sample * w)
+
+        lsum, grads = jax.value_and_grad(loss_of)(params)
+        wsum = jnp.sum(w)
+        if psum:
+            lsum = lax.psum(lsum, DATA_AXIS)
+            wsum = lax.psum(wsum, DATA_AXIS)
+        return grads, lsum, wsum
+
+    if mesh is not None:
+        sharded = shard_map(
+            partial(_micro, psum=True),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+        )
+    else:
+        sharded = partial(_micro, psum=False)
+
+    @jax.jit
+    def grad_step(params, batch: Batch):
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((batch["lr"].shape[0],), jnp.float32)
+        return sharded(params, batch["lr"], batch["hr"], w)
+
+    # donate=False for callers whose `state` aliases a params pytree they
+    # keep using (tests/notebooks); the fit loop threads state and donates.
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else (1,))
+    def apply_step(state: TrainState, grads_sum, loss_sum, weight_sum):
+        grads = jax.tree_util.tree_map(lambda g: g / weight_sum, grads_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, params, opt_state),
+            loss_sum / weight_sum,
+        )
+
+    return grad_step, apply_step
+
+
+def accum_add(acc, delta):
+    """Accumulate (grads, loss_sum, weight_sum) triples (jitted tree-add)."""
+    if acc is None:
+        return delta
+    return jax.tree_util.tree_map(jnp.add, acc, delta)
+
+
 def make_eval_step(
     apply_fn: Callable[[Any, Array], Array],
     loss_fn: Callable[[Array, Array], Array],
