@@ -324,3 +324,16 @@ def test_cli_serve_batched(tmp_path):
         "--run_config", str(run),
     ])
     assert rc == 2
+
+    # --mesh_data 2: batches shard over a 2-device data mesh (virtual CPU
+    # mesh from conftest); products identical to the single-device run
+    rc = main([
+        "serve", str(tmp_path / "det*.fits"),
+        "--checkpoint", str(ckpt), "--out", str(tmp_path / "out_mesh"),
+        "--run_config", str(run), "--batch", "2", "--mesh_data", "2",
+    ])
+    assert rc == 0
+    for f in sorted((tmp_path / "out").glob("*predict*.fits.gz")):
+        a, _ = read_image(f)
+        b, _ = read_image(tmp_path / "out_mesh" / f.name)
+        np.testing.assert_array_equal(a, b)

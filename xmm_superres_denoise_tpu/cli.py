@@ -199,10 +199,20 @@ def _build_engine(args):
                 scales_path,
             )
             scales = obj
+    # --mesh_data N: shard serving batches over an N-device data mesh
+    # (ICI batch parallelism; docs/SERVING.md "Multi-chip"). 0 = single
+    # device, -1 = all local devices.
+    mesh = None
+    n_mesh = int(getattr(args, "mesh_data", 0) or 0)
+    if n_mesh == -1 or n_mesh > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(data="auto" if n_mesh == -1 else n_mesh)
+        log.info("serving mesh: %s", dict(mesh.shape))
     engine = InferenceEngine(
         m_cfg, ds_cfg, params, det_mask=mask, dtype=dtype,
         crop_p=getattr(args, "crop_p", 1.0), quantize=args.int8,
-        int8_scales=scales,
+        int8_scales=scales, mesh=mesh,
     )
 
     def save_scales() -> None:
@@ -464,6 +474,10 @@ def main(argv=None) -> int:
     p.add_argument("--int8_scales", type=Path, default=None,
                    help="calibrated-scales JSON: loaded if it exists, "
                         "written after first-batch calibration otherwise")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard serving batches over an N-device data mesh "
+                        "(multi-chip batch parallelism; -1 = all local "
+                        "devices, 0/1 = single device)")
     p.add_argument("--crop_p", type=float, default=1.0,
                    help="crop fraction applied after padding, origin per the "
                         "dataset crop_mode (1.0 = no crop, reference default)")
@@ -490,6 +504,10 @@ def main(argv=None) -> int:
     p.add_argument("--int8_scales", type=Path, default=None,
                    help="calibrated-scales JSON: loaded if it exists, "
                         "written after first-batch calibration otherwise")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard serving batches over an N-device data mesh "
+                        "(multi-chip batch parallelism; -1 = all local "
+                        "devices, 0/1 = single device)")
     p.add_argument("--watch", action="store_true",
                    help="daemon mode: treat the positional args as "
                         "directories and serve new stable FITS files as "
@@ -523,6 +541,10 @@ def main(argv=None) -> int:
     p.add_argument("--int8_scales", type=Path, default=None,
                    help="calibrated-scales JSON: loaded if it exists, "
                         "written after first-batch calibration otherwise")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard serving batches over an N-device data mesh "
+                        "(multi-chip batch parallelism; -1 = all local "
+                        "devices, 0/1 = single device)")
     p.set_defaults(func=cmd_http)
 
     p = sub.add_parser("export", help="export best checkpoint to onnx/npz")
