@@ -224,6 +224,12 @@ class TrainerCfg(BaseModel):
     # loss algebra; train/steps.py:make_accum_steps) at the memory cost of
     # one extra gradient pytree.
     accumulate_grad_batches: PositiveInt = 1
+    # Lightning's EarlyStopping callback as trainer knobs: stop when
+    # val/loss (the checkpoint monitor, reference train.py:133-139) has
+    # not improved by more than min_delta for `patience` consecutive
+    # epochs. 0 disables (reference behavior: fixed-epoch runs).
+    early_stopping_patience: NonNegativeInt = 0
+    early_stopping_min_delta: float = Field(0.0, ge=0)
     # Legacy reference keys accepted for config compatibility (train.py:141-155).
     # `strategy="fsdp"` is honored: it defaults the mesh to a 2-way fsdp axis
     # when the mesh section didn't already shard params (see validator).

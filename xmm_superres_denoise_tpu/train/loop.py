@@ -379,6 +379,10 @@ class Trainer:
 
     def _fit_epochs(self, state, start_epoch, epochs, result,
                     input_metrics_pending) -> FitResult:
+        # early-stopping state (counting restarts on resume — the best
+        # checkpoint on disk is the durable part of the decision)
+        self._es_best = float("inf")
+        self._es_bad_epochs = 0
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_losses = []
@@ -443,6 +447,30 @@ class Trainer:
                 "epoch %d: train/loss=%.5f val/loss=%.5f (%.1fs)",
                 epoch, train_loss, val_loss, entry["time_s"],
             )
+
+            # Lightning's EarlyStopping callback semantics on the val/loss
+            # monitor: an epoch "improves" when it beats the best seen by
+            # more than min_delta; `patience` non-improving epochs stop the
+            # fit (the best checkpoint is already on disk).
+            patience = getattr(
+                self.trainer_config, "early_stopping_patience", 0
+            )
+            if patience:
+                min_delta = getattr(
+                    self.trainer_config, "early_stopping_min_delta", 0.0
+                )
+                if val_loss < self._es_best - min_delta:
+                    self._es_best = val_loss
+                    self._es_bad_epochs = 0
+                else:
+                    self._es_bad_epochs += 1
+                    if self._es_bad_epochs >= patience:
+                        log.info(
+                            "early stopping at epoch %d: val/loss has not "
+                            "improved by >%g for %d epoch(s) (best %.5f)",
+                            epoch, min_delta, patience, self._es_best,
+                        )
+                        break
         return result
 
     def _append_history(self, entry) -> None:
