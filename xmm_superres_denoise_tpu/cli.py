@@ -113,7 +113,21 @@ def _build_trainer(args):
 
 def cmd_fit(args) -> int:
     trainer, t_cfg = _build_trainer(args)
-    result = trainer.fit(seed=t_cfg.seed, resume=t_cfg.checkpoint_path is not None)
+    import contextlib
+
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir is not None:
+        # jax.profiler trace around the whole fit (open with TensorBoard /
+        # xprof; device timelines + the step annotations from utils.profiling)
+        from .utils.profiling import trace
+
+        ctx = trace(Path(profile_dir))
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        result = trainer.fit(
+            seed=t_cfg.seed, resume=t_cfg.checkpoint_path is not None
+        )
     log.info(
         "fit done: best val/loss %.5f at epoch %d",
         result.best_val_loss, result.best_step,
@@ -457,6 +471,12 @@ def main(argv=None) -> int:
         p = sub.add_parser(name, help=f"{name} a model from a run config")
         p.add_argument("run_config", type=Path)
         p.add_argument("--no-extended", action="store_true")
+        if name == "fit":
+            p.add_argument(
+                "--profile", type=Path, default=None,
+                help="capture a jax.profiler trace of the whole fit into "
+                     "this directory (open with TensorBoard/xprof)",
+            )
         p.set_defaults(func=cmd_fit if name == "fit" else cmd_test)
 
     p = sub.add_parser("infer", help="run SR/DN inference on a detxy FITS")
