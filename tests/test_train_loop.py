@@ -315,6 +315,44 @@ def test_checkpoint_retention_keeps_latest(tmp_path):
     mgr.close()
 
 
+def test_empty_eval_split_reports_nan_not_zero(tmp_path):
+    """A zero-sample split (boring_size=8 -> torch remainder rule gives
+    test 0 samples) must report loss=NaN, not a perfect-looking 0.0."""
+    ds_cfg = _boring_cfg(tmp_path)
+    dm = XmmDataModule(ds_cfg, splits_root=tmp_path / "splits", boring_size=8)
+    tr_cfg = TrainerCfg(
+        epochs=1, checkpoint_root=tmp_path / "ckpt",
+        mesh=MeshCfg(data="auto", fsdp=1),
+    )
+    loss = create_loss(None, LossCfg(l1=1.0))
+    t = Trainer(_model_cfg(), tr_cfg, dm, loss, metric_names=["psnr", "l1"])
+    state = t.init_state(seed=0)
+    logs = t._run_eval(state.params, "test", "test",
+                       include_input_metrics=False)
+    assert np.isnan(logs["test/loss"])
+
+
+def test_checkpoint_save_nan_monitor_never_best(tmp_path):
+    """A NaN val/loss (empty val split) must neither become the recorded
+    best nor poison BestN retention ordering."""
+    import jax.numpy as jnp
+    import optax
+
+    from xmm_superres_denoise_tpu.train.checkpoints import CheckpointManager
+    from xmm_superres_denoise_tpu.train.steps import TrainState
+
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
+    state = TrainState.create({"w": jnp.zeros((2,))}, optax.adam(1e-3))
+    mgr.save(0, state, float("nan"))
+    assert mgr.best_metadata() is None
+    mgr.save(1, state, 2.0)
+    mgr.save(2, state, float("nan"))
+    _, best_step = mgr.restore_best(state)
+    assert best_step == 1
+    assert mgr.latest_step() == 2
+    mgr.close()
+
+
 def test_params_npz_handles_list_pytrees(tmp_path):
     """npz export/import must stringify non-dict keypath entries (list index
     SequenceKey.idx is an int; '/'.join crashed on it)."""

@@ -48,14 +48,21 @@ class CheckpointManager:
         self._meta_path = self.root / "best.json"
 
     def save(self, step: int, state: Any, val_loss: float) -> None:
+        import math
+
+        # A non-finite monitor (e.g. NaN from an empty val split) must not
+        # participate in best-N retention ordering (sorting with NaN keys is
+        # undefined) nor ever be recorded as "best"; +inf keeps the ordering
+        # sane and LatestN still preserves the step for resume.
+        metric = float(val_loss) if math.isfinite(val_loss) else float("inf")
         self._mngr.save(
             step,
             args=ocp.args.StandardSave(state),
-            metrics={"val_loss": float(val_loss)},
+            metrics={"val_loss": metric},
         )
         self._mngr.wait_until_finished()
         best = self.best_metadata() or {"val_loss": float("inf")}
-        if float(val_loss) <= best["val_loss"]:
+        if math.isfinite(val_loss) and float(val_loss) <= best["val_loss"]:
             self._meta_path.write_text(
                 json.dumps({"step": int(step), "val_loss": float(val_loss)})
             )

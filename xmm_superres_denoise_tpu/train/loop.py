@@ -303,7 +303,17 @@ class Trainer:
             states, dl, dn = eval_step(params, states, batch)
             loss_sum = loss_sum + dl
             n = n + dn
-        out = {f"{prefix}/loss": float(loss_sum / jnp.maximum(n, 1.0))}
+        if float(n) == 0.0:
+            # An empty split must not report loss=0.0 — that would be
+            # recorded as a perfect "best" epoch (tiny datasets: the
+            # remainder rule can assign a partition zero samples).
+            log.warning(
+                "%s split produced 0 batches; %s metrics are undefined",
+                split, prefix,
+            )
+            out = {f"{prefix}/loss": float("nan")}
+        else:
+            out = {f"{prefix}/loss": float(loss_sum / n)}
         for key, coll in colls.items():
             for name, val in coll.compute(states[key]).items():
                 out[name] = float(val)
