@@ -182,11 +182,90 @@ def test_http_error_paths(tmp_path):
         code, err = expect_error(s.url + "/infer", b"")
         assert code == 400  # empty body rejected up front
 
+        # wrong geometry (decodes fine, cannot be served): still a 400 —
+        # the client's fault, not an internal error
+        big = np.zeros((600, 600), np.float32)
+        p = write_image(Path(tmp_path) / "big.fits", big,
+                        header={"EXPOSURE": 20_000.0})
+        code, err = expect_error(s.url + "/infer", p.read_bytes())
+        assert code == 400 and "geometry" in err["error"]
+
+        # missing WCS keywords on an SR engine (2x product needs CDELT):
+        # also the client's fault -> 400 naming the keyword
+        nowcs = np.zeros((411, 403), np.float32)
+        p = write_image(Path(tmp_path) / "nowcs.fits", nowcs,
+                        header={"EXPOSURE": 20_000.0})
+        code, err = expect_error(s.url + "/infer", p.read_bytes())
+        assert code == 400 and "WCS keyword" in err["error"]
+
         # still alive: a good request succeeds after all the failures
         status, _, blob = _post(s.url + "/infer", good)
         assert status == 200
         assert read_image(blob)[0].shape == (832, 832)
 
         _, stats = _get(s.url + "/stats")
-        assert stats["errors"] == 3  # 404s are not /infer errors
-        assert stats["requests"] == 4
+        assert stats["errors"] == 5  # 404s are not /infer errors
+        assert stats["requests"] == 6
+
+
+def test_http_engine_failure_is_500_and_server_survives(tmp_path, monkeypatch):
+    """An engine/device failure is OUR fault: 500 (not 400), logged, and
+    the server keeps serving once the engine works again."""
+    engine, _ = _engine()
+    good = _detxy_bytes(tmp_path)
+
+    # dunder lookup happens on the type, so patch the class (monkeypatch
+    # restores it after the test)
+    real_call = type(engine).__call__
+    broken = {"on": True}
+
+    def flaky(self, rate):
+        if broken["on"]:
+            raise RuntimeError("injected device loss")
+        return real_call(self, rate)
+
+    monkeypatch.setattr(type(engine), "__call__", flaky)
+    with _Server(engine) as s:
+        req = urllib.request.Request(s.url + "/infer", data=good,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "internal error" in json.loads(e.read())["error"]
+
+        broken["on"] = False
+        status, _, blob = _post(s.url + "/infer", good)
+        assert status == 200
+        assert read_image(blob)[0].shape == (832, 832)
+
+
+def test_http_oversized_body_rejected_and_connection_closed(
+    tmp_path, monkeypatch
+):
+    """A Content-Length over the cap answers 400 WITHOUT draining the body
+    and closes the connection (an undrained keep-alive socket would parse
+    the unread bytes as the next request); the server stays healthy."""
+    import xmm_superres_denoise_tpu.infer.http_server as hs
+
+    monkeypatch.setattr(hs, "MAX_BODY_BYTES", 1024)
+    engine, _ = _engine()
+    good = _detxy_bytes(tmp_path)
+    assert len(good) > 1024
+
+    with _Server(engine) as s:
+        req = urllib.request.Request(s.url + "/infer", data=good,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        except (ConnectionResetError, urllib.error.URLError):
+            pass  # server may cut the upload mid-send: also acceptable
+
+        monkeypatch.setattr(hs, "MAX_BODY_BYTES", 256 * 1024 * 1024)
+        status, _, blob = _post(s.url + "/infer", good)
+        assert status == 200
+        assert read_image(blob)[0].shape == (832, 832)

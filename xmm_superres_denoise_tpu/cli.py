@@ -42,6 +42,21 @@ def _default_jit_cache() -> str:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _default_jit_cache())
 
+# Site hooks that PRE-IMPORT jax (the axon dev runtime's sitecustomize
+# does) make the env var silently too late; the config route works at any
+# point before the first compile. Only fill it when unset so an explicit
+# user/config choice wins.
+import sys as _sys
+
+if "jax" in _sys.modules:
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 
 log = logging.getLogger("xmmsr")
@@ -266,7 +281,6 @@ def cmd_serve(args) -> int:
     from .infer.run_file import serve_files
 
     if args.watch:
-        import signal as _signal
         import threading
 
         from .infer.run_file import watch_and_serve
@@ -278,10 +292,7 @@ def cmd_serve(args) -> int:
             return 2
         engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
         stop = threading.Event()
-        prev = {
-            s: _signal.signal(s, lambda *_: stop.set())
-            for s in (_signal.SIGTERM, _signal.SIGINT)
-        }
+        prev = _install_stop_signals(stop)
         log.info("serve --watch: polling %s every %.1fs (SIGTERM stops)",
                  [str(d) for d in dirs], args.poll)
         try:
@@ -299,8 +310,7 @@ def cmd_serve(args) -> int:
                 plot=args.plot,
             )
         finally:  # in-process callers (tests, notebooks) keep their handlers
-            for s, h in prev.items():
-                _signal.signal(s, h)
+            _restore_stop_signals(prev)
         save_scales()
         print(json.dumps({"served": n}))
         return 0
@@ -338,17 +348,13 @@ def cmd_serve(args) -> int:
 def cmd_http(args) -> int:
     """HTTP inference service: POST detxy FITS -> WCS product bytes from
     ONE warm engine (infer/http_server.py). SIGTERM/SIGINT stop cleanly."""
-    import signal as _signal
     import threading
 
     from .infer.http_server import run_http_server
 
     engine, ds_cfg, m_cfg, save_scales = _build_engine(args)
     stop = threading.Event()
-    prev = {
-        s: _signal.signal(s, lambda *_: stop.set())
-        for s in (_signal.SIGTERM, _signal.SIGINT)
-    }
+    prev = _install_stop_signals(stop)
     try:
         server = run_http_server(
             args.host, args.port, engine,
@@ -357,11 +363,37 @@ def cmd_http(args) -> int:
             stop=stop,
         )
     finally:
-        for s, h in prev.items():
-            _signal.signal(s, h)
+        _restore_stop_signals(prev)
     save_scales()
     print(json.dumps({"served": server.stats()}))
     return 0
+
+
+def _install_stop_signals(stop):
+    """SIGTERM/SIGINT -> stop.set(); returns previous handlers to restore.
+
+    Signal handlers only work on the main thread — embedded callers
+    (tests, notebooks driving `main()` in a worker thread) get a no-op
+    and control the daemon via the stop event instead of crashing."""
+    import signal as _signal
+
+    prev = {}
+    for s in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            prev[s] = _signal.signal(s, lambda *_: stop.set())
+        except ValueError:  # not the main thread
+            pass
+    return prev
+
+
+def _restore_stop_signals(prev) -> None:
+    import signal as _signal
+
+    for s, h in prev.items():
+        try:
+            _signal.signal(s, h)
+        except ValueError:
+            pass
 
 
 def cmd_end2end(args) -> int:

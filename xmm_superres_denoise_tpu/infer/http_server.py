@@ -46,6 +46,12 @@ log = logging.getLogger("xmmsr")
 MAX_BODY_BYTES = 256 * 1024 * 1024
 
 
+class BadInput(ValueError):
+    """Client-side failure: the request payload cannot be decoded/served
+    (malformed FITS, wrong geometry). Distinguished from internal errors
+    so monitoring sees 400 for bad uploads and 500 for engine failures."""
+
+
 class InferenceHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer carrying the warm engine + serving state."""
 
@@ -133,6 +139,10 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             length = 0
         if length <= 0 or length > MAX_BODY_BYTES:
+            # The body is NOT drained here (it may be arbitrarily large),
+            # so the keep-alive connection would deliver the unread bytes
+            # as the "next request" — close it instead.
+            self.close_connection = True
             self.server.record(ok=False)
             self._send_json(400, {
                 "error": f"Content-Length required, 0 < n <= {MAX_BODY_BYTES}",
@@ -158,9 +168,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.server.engine, self.server.engine_lock, body,
                 self.server.hr_exp_ks, self.server.model_name, product,
             )
-        except Exception as e:  # malformed FITS, wrong geometry, ...
+        except BadInput as e:  # malformed FITS, wrong geometry, ...
             self.server.record(ok=False)
             self._send_json(400, {"error": f"cannot serve input: {e}"})
+            return
+        except Exception as e:  # engine/device/product failure: OUR fault
+            log.exception("http: internal error serving /infer")
+            self.server.record(ok=False)
+            self._send_json(500, {"error": f"internal error: {e}"})
             return
         latency_ms = (time.monotonic() - t0) * 1e3
         self.server.record(ok=True, latency_ms=latency_ms)
@@ -190,14 +205,30 @@ def _serve_one(
     (same WCS reconstruction, exposure multiplication comments, naming
     semantics), so an HTTP client receives byte-identical products to a
     `cli.py infer` run on the same input."""
-    rate, hdr, exposure = load_rate_image(body)  # codec accepts raw bytes
+    try:
+        rate, hdr, exposure = load_rate_image(body)  # codec takes raw bytes
+    except Exception as e:
+        raise BadInput(str(e)) from e
+    lr = engine.lr_res
+    if rate.ndim != 2 or rate.shape[0] > lr or rate.shape[1] > lr:
+        raise BadInput(
+            f"image geometry {rate.shape} incompatible with the engine's "
+            f"input resolution {lr} (expected the native detxy frame or "
+            f"anything padding up to {lr}x{lr})"
+        )
     with engine_lock:  # one chip: serialize device work across requests
         pred, inp = engine(rate)
     with tempfile.TemporaryDirectory() as tmp:
-        p_in, p_pred = write_products(
-            inp, pred, Path(tmp), Path("upload.fits"), exposure,
-            hr_exp_ks, model_name, hdr, plot=False,
-        )
+        try:
+            p_in, p_pred = write_products(
+                inp, pred, Path(tmp), Path("upload.fits"), exposure,
+                hr_exp_ks, model_name, hdr, plot=False,
+            )
+        except KeyError as e:  # WCS keyword lookup on the UPLOADED header
+            raise BadInput(
+                f"input header is missing required WCS keyword {e} "
+                f"(detxy products need CDELT1/CDELT2 for the 2x rescale)"
+            ) from e
         chosen = p_pred if product == "prediction" else p_in
         return Path(chosen).read_bytes(), {"exposure": exposure}
 
