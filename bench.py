@@ -71,6 +71,25 @@ def _seed_cache() -> None:
 
 
 _seed_cache()
+
+
+def _apply_cache_config() -> None:
+    """Point jax at the repo cache even when jax was PRE-IMPORTED.
+
+    The env var only works when set before `import jax`; under site hooks
+    that pre-import jax (the axon dev runtime does) it is silently too
+    late — measured: candidates were paying full remote compiles with the
+    warm cache sitting unused. `jax.config.update` works at any point
+    before the first compile. Call after every `import jax` below."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE),
+        )
+
+
 # Per-candidate budget: warm candidates run ~1.5-2 min; cold worst
 # observation for the winner is ~11-16 min. The GLOBAL deadline below is
 # what guarantees driver delivery; the per-candidate budget just bounds a
@@ -91,8 +110,11 @@ TRY_FUSED = os.environ.get("XMMSR_BENCH_FUSED", "0") == "1"
 # statically-calibrated w8a8 S2D path (ops/int8_forward.py — the v5e MXU's
 # 394 TOPS mode; the bf16 S2D path is compute-bound at ~93% of the 197 TF/s
 # peak, so int8 is the remaining serving lever, docs/PERFORMANCE.md).
-# Measured: int8-b32 142.8 / int8-b8 122 / s2d-b32 75 / s2d-b8 72 / xla 34.
-CANDIDATES = [("int8", 32), ("int8", 8), ("s2d", 32), ("s2d", 8), ("xla", 8)]
+# Measured: int8-b128 148.5 (stable over reruns) / int8-b64 144.1 /
+# int8-b32 142.9 / int8-b8 122 / s2d-b32 75 / s2d-b8 72 / xla 34;
+# int8-b256 fails on-device (resource exhaustion at 256x the S2D
+# activation footprint), so b128 is the batching knee.
+CANDIDATES = [("int8", 128), ("int8", 32), ("s2d", 32), ("s2d", 8), ("xla", 8)]
 
 
 def _run_pipeline(pipeline: str, batch: int) -> None:
@@ -113,6 +135,8 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
+
+    _apply_cache_config()
 
     from xmm_superres_denoise_tpu.models import (
         GeneratorRRDB_DN,
@@ -198,6 +222,8 @@ def _run_zoo_model(name: str, batch: int = 1) -> None:
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
+
+    _apply_cache_config()
 
     from xmm_superres_denoise_tpu.models.drct import DRCT
     from xmm_superres_denoise_tpu.models.hat import HAT
@@ -289,7 +315,7 @@ def _emit_result() -> None:
         # never initialized (dev-tunnel outage observed mid-round-3).
         payload["note"] = (
             "backend unreachable: device init timed out; measured warm "
-            "int8-b32 on this chip is 142.8 tiles/s (docs/PERFORMANCE.md)"
+            "int8-b128 on this chip is 148.5 tiles/s (docs/PERFORMANCE.md)"
         )
     print(json.dumps(payload), flush=True)
 
@@ -449,6 +475,8 @@ def main(install_handlers: bool = True) -> None:
                 import jax
                 import jax.numpy as jnp
                 import numpy as np
+
+                _apply_cache_config()
 
                 from xmm_superres_denoise_tpu.models import GeneratorRRDB_SR
 
