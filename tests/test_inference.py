@@ -425,3 +425,27 @@ def test_write_products_stem_with_input_predict_words(tmp_path):
         pairs[stem] = (p_in, p_pred)
     all_paths = [p for pair in pairs.values() for p in pair]
     assert len(set(all_paths)) == 4, all_paths
+
+
+def test_tiles_pipeline_oom_raises_actionable_error(monkeypatch):
+    """A device RESOURCE_EXHAUSTED during chunked serving (measured at int8
+    b64/b128 on a 16 GB chip) must surface as a RuntimeError naming the
+    batch-size knob, not a raw backend traceback."""
+    engine, _ = _engine(sr=True, lr_res=32)
+
+    def boom(params, chunk):
+        raise Exception("RESOURCE_EXHAUSTED: TPU backend error")
+
+    monkeypatch.setattr(engine, "_run_pred", boom)
+    tiles = np.zeros((8, 32, 32), np.float32)
+    with pytest.raises(RuntimeError, match="reduce") as ei:
+        engine.predict_tiles(tiles, batch_size=4)
+    assert "batch_size=4" in str(ei.value)
+
+    # any other failure propagates untouched
+    def other(params, chunk):
+        raise ValueError("unrelated")
+
+    monkeypatch.setattr(engine, "_run_pred", other)
+    with pytest.raises(ValueError, match="unrelated"):
+        engine.predict_tiles(tiles, batch_size=4)

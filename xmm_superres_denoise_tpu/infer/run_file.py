@@ -245,18 +245,31 @@ class InferenceEngine:
                 for lst, dev in zip(outs, res):
                     lst.append(np.asarray(dev)[:k])
 
-        for i in range(0, n, batch_size):
-            chunk = raw[i : i + batch_size]
-            k = chunk.shape[0]
-            if k < batch_size:  # pad to the compiled shape, trim after
-                pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            chunk = jnp.asarray(chunk, jnp.float32)
-            self._ensure_built(chunk)
-            chunk, _ = self._place(chunk)
-            pending.append((runner(self.params, chunk), k))
-            _drain(self._INFLIGHT)
-        _drain(0)
+        try:
+            for i in range(0, n, batch_size):
+                chunk = raw[i : i + batch_size]
+                k = chunk.shape[0]
+                if k < batch_size:  # pad to the compiled shape, trim after
+                    pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                chunk = jnp.asarray(chunk, jnp.float32)
+                self._ensure_built(chunk)
+                chunk, _ = self._place(chunk)
+                pending.append((runner(self.params, chunk), k))
+                _drain(self._INFLIGHT)
+            _drain(0)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in repr(e):
+                raise
+            # Measured on a 16 GB v5e: the SERVE path (pipelined chunks +
+            # full-res output readback) exhausts memory at int8 b64/b128
+            # even though bench.py's pure device-side chain runs b128 —
+            # the serving knee is b32 (docs/SERVING.md).
+            raise RuntimeError(
+                f"device out of memory serving batch_size={batch_size} "
+                f"with {self._INFLIGHT + 1} chunks in flight — reduce "
+                f"--batch (measured serve regime on a 16 GB chip: 32)"
+            ) from e
         return tuple(np.concatenate(lst, axis=0) for lst in outs)
 
     def predict_tiles(
