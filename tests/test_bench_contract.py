@@ -182,3 +182,26 @@ def test_bench_sigterm_kill_path_delivers_json():
     payload = json.loads(lines[0])
     assert payload["metric"] == "sr_416to832_tiles_per_sec"
     assert payload["value"] == 222.5
+
+
+def test_apply_cache_config_sets_flag_when_unset(monkeypatch):
+    """Under site hooks that PRE-IMPORT jax, the env-var route for the
+    compilation cache is silently too late (measured: candidates paid full
+    remote compiles with a warm cache on disk). _apply_cache_config must
+    set the flag via jax.config, and must not override an explicit one."""
+    import jax
+
+    bench = _load_bench()
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/contract_cache")
+        bench._apply_cache_config()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/contract_cache"
+
+        # an explicit setting wins over the repo default
+        jax.config.update("jax_compilation_cache_dir", "/tmp/explicit")
+        bench._apply_cache_config()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/explicit"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
