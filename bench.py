@@ -9,7 +9,12 @@ Measures the flagship inference path (GeneratorRRDB_SR, production config:
   * xla: the plain jitted Flax forward;
   * s2d: whole forward in the 2x2 space-to-depth domain at 208^2 with
     4x/16x channels (ops/s2d_forward.py) — full 128-lane MXU tiles;
-  * fused: Pallas space-to-depth RRDB trunk (ops/pallas_rrdb.py), opt-in.
+  * int8: the statically-calibrated w8a8 S2D path (ops/int8_forward.py,
+    the v5e MXU's 394 TOPS mode) — the measured winner at batch 128
+    (148.5 tiles/s; docs/PERFORMANCE.md batch sweep);
+  * fused: Pallas space-to-depth RRDB trunk (ops/pallas_rrdb.py), opt-in;
+  * dn-*: the same pipelines on the DeNoise flagship (416->416),
+    informational only — the driver metric is the SR path.
 
 Each (pipeline, batch) candidate runs in a SUBPROCESS with its own
 wall-clock budget (remote Mosaic compilation through the dev tunnel can
