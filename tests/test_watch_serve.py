@@ -256,3 +256,37 @@ def test_watch_isolates_corrupt_input(tmp_path):
         poll_s=0.01, max_polls=2, state_path=state,
     )
     assert n2 == 0
+
+
+def test_watch_oom_batch_degrades_to_single_tile(tmp_path, monkeypatch):
+    """A batch-sized device OOM (e.g. --batch misconfigured beyond the
+    serve-path memory knee) must degrade the daemon to working batch-1
+    programs — every good file still gets its products — instead of
+    recording every file as permanently failed."""
+    engine, _ = _engine()
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    state = tmp_path / "state.json"
+    watch.mkdir()
+    _drop_detxy(watch, "a.fits", seed=1)
+    _drop_detxy(watch, "b.fits", seed=2)
+
+    real = engine.run_tiles
+
+    def oom_at_big_batch(raw, batch_size=32):
+        if batch_size > 1:
+            raise RuntimeError(
+                f"device out of memory serving batch_size={batch_size}"
+            )
+        return real(raw, batch_size=batch_size)
+
+    monkeypatch.setattr(engine, "run_tiles", oom_at_big_batch)
+    n = watch_and_serve(
+        watch, engine, out, hr_exp_ks=100.0, model_name="esr_gen",
+        batch_size=64, poll_s=0.01, max_polls=2, state_path=state,
+    )
+    assert n == 2, json.loads(state.read_text())
+    served = json.loads(state.read_text())
+    assert sorted(served.values()) == ["ok", "ok"]
+    names = _products(out)
+    assert any("a_" in nm for nm in names) and any("b_" in nm for nm in names)

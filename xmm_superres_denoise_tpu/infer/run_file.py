@@ -504,9 +504,14 @@ def watch_and_serve(
                             batch_err)
                 for f in ready:
                     try:
+                        # batch_size=1: a corrupt input is isolated AND a
+                        # misconfigured batch (device OOM pads one file to
+                        # `batch_size` tiles) degrades to working
+                        # single-tile programs instead of marking every
+                        # file permanently failed.
                         serve_files(
                             [f], engine, out_path, hr_exp_ks, model_name,
-                            batch_size=batch_size, plot=plot,
+                            batch_size=1, plot=plot,
                         )
                         served[snapshot[f][2]] = "ok"
                         n_served += 1
