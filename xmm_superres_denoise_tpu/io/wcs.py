@@ -91,6 +91,9 @@ def write_xmm_product(
     header["CRVAL1"] = 0.0
     header["CRVAL2"] = 0.0
     header["CTYPE1"] = "RA---TAN"
+    # Deliberate deviation: the reference writes the malformed 9-char
+    # "DEC---TAN" here (filehandling.py:103); the FITS-standard 4-3 form
+    # is "DEC--TAN" (8 chars), which WCS libraries parse.
     header["CTYPE2"] = "DEC--TAN"
     if comment:
         header["COMMENT"] = comment
