@@ -9,6 +9,11 @@ Compares the pipelined drain (up to 2 chunks in flight, round 3) against
 a serialized variant (np.asarray per chunk) to quantify the async-dispatch
 overlap win.
 
+Measured batch regime (late round 3, 16 GB v5e): int8 b32 runs (6.0
+tiles/s e2e, relay-bound); b64 and b128 RESOURCE_EXHAUST with the two
+in-flight chunks + full-res readback footprint, even though bench.py's
+pure device-side chain reaches b128. The serve knee is b32.
+
 Usage: python scripts/device_serving_throughput.py [n_tiles] [batch]
 """
 
