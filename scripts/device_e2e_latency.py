@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from xmm_superres_denoise_tpu.config.schema import (
     DatasetCfg,
     HrDatasetCfg,
