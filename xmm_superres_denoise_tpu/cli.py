@@ -148,14 +148,26 @@ def cmd_fit(args) -> int:
         result.best_val_loss, result.best_step,
     )
     logs = trainer.test(extended=not args.no_extended)
-    print(json.dumps(logs, indent=2))
+    _print_logs_json(logs)
     return 0
+
+
+def _print_logs_json(logs) -> None:
+    """Strict JSON for tooling consumers: undefined metrics (e.g. an empty
+    test split) serialize as null, not the non-standard NaN token."""
+    import math
+
+    clean = {
+        k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+        for k, v in logs.items()
+    }
+    print(json.dumps(clean, indent=2))
 
 
 def cmd_test(args) -> int:
     trainer, _ = _build_trainer(args)
     logs = trainer.test(extended=not args.no_extended)
-    print(json.dumps(logs, indent=2))
+    _print_logs_json(logs)
     return 0
 
 
