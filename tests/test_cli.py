@@ -337,3 +337,28 @@ def test_cli_serve_batched(tmp_path):
         a, _ = read_image(f)
         b, _ = read_image(tmp_path / "out_mesh" / f.name)
         np.testing.assert_array_equal(a, b)
+
+
+def test_print_logs_json_is_strict_json(capsys):
+    """fit/test metric dumps must be strict JSON for tooling consumers:
+    non-finite values (empty-split metrics) serialize as null, never the
+    non-standard NaN/Infinity tokens."""
+    import json as _json
+
+    from xmm_superres_denoise_tpu.cli import _print_logs_json
+
+    _print_logs_json({
+        "test/loss": float("nan"),
+        "test/linear/psnr": float("inf"),
+        "test/linear/l1": 0.25,
+    })
+    out = capsys.readouterr().out
+    parsed = _json.loads(out)  # strict parse: NaN token would not raise
+    assert _json.loads(out, parse_constant=lambda c: (_ for _ in ()).throw(
+        ValueError(c)
+    )) == parsed  # belt-and-braces: no Infinity/NaN constants present
+    assert parsed == {
+        "test/loss": None,
+        "test/linear/psnr": None,
+        "test/linear/l1": 0.25,
+    }
