@@ -133,6 +133,7 @@ class Trainer:
         ckpt_root = trainer_config.checkpoint_root or Path("checkpoints")
         self.ckpt = CheckpointManager(Path(ckpt_root) / model_config.name.value)
         self._eval_cache = {}
+        self._tb = None  # lazy TensorBoard event writer (_append_history)
         self._live_state = None
 
         if getattr(model_config, "s2d_train", False):
@@ -486,7 +487,10 @@ class Trainer:
     def _append_history(self, entry) -> None:
         """JSONL metric log next to the checkpoints (the reference's
         Lightning CSV/W&B scalar channel, model.py:111-151); scalars are
-        forwarded to an active W&B run when the package is importable."""
+        forwarded to an active W&B run when the package is importable,
+        and to a TensorBoard event file (Lightning's DEFAULT logger —
+        reference fits always produce `lightning_logs/` event files;
+        here: `<checkpoint_root>/tb/`, dependency-free writer)."""
         import json
 
         clean = {k: (float(v) if hasattr(v, "__float__") else v)
@@ -494,11 +498,24 @@ class Trainer:
         path = self.ckpt.root / "history.jsonl"
         with open(path, "a") as f:
             f.write(json.dumps(clean) + "\n")
+        step = int(entry.get("epoch", 0))
+        try:
+            if self._tb is None:
+                from ..utils.tbevents import TBEventWriter
+
+                self._tb = TBEventWriter(self.ckpt.root / "tb")
+            self._tb.add_scalars(
+                {k: v for k, v in clean.items()
+                 if isinstance(v, float) and k != "epoch"},
+                step=step,
+            )
+        except Exception as e:  # observability must never kill a fit
+            log.warning("tb event write failed: %s", e)
         try:
             import wandb
 
             if wandb.run is not None:
-                wandb.log(clean, step=int(entry.get("epoch", 0)))
+                wandb.log(clean, step=step)
         except Exception:
             pass
 
