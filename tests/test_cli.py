@@ -362,3 +362,31 @@ def test_print_logs_json_is_strict_json(capsys):
         "test/linear/psnr": None,
         "test/linear/l1": 0.25,
     }
+
+
+def test_snapshot_run_config(tmp_path):
+    """Every fit records the exact TOML that produced the checkpoint dir;
+    resuming with an EDITED config keeps the original and adds a numbered
+    sidecar instead of overwriting history."""
+    from types import SimpleNamespace
+
+    from xmm_superres_denoise_tpu.cli import _snapshot_run_config
+
+    root = tmp_path / "ckpt_root"
+    root.mkdir()
+    trainer = SimpleNamespace(ckpt=SimpleNamespace(root=root))
+    cfg = tmp_path / "run.toml"
+    cfg.write_text("[trainer]\nepochs = 1\n")
+
+    _snapshot_run_config(trainer, cfg)
+    assert (root / "run_config.toml").read_text() == cfg.read_text()
+
+    # same config again: idempotent, no sidecar
+    _snapshot_run_config(trainer, cfg)
+    assert not (root / "run_config.1.toml").exists()
+
+    # edited config: original stays, sidecar appears
+    cfg.write_text("[trainer]\nepochs = 2\n")
+    _snapshot_run_config(trainer, cfg)
+    assert "epochs = 1" in (root / "run_config.toml").read_text()
+    assert "epochs = 2" in (root / "run_config.1.toml").read_text()

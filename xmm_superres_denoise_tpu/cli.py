@@ -126,8 +126,32 @@ def _build_trainer(args):
     return Trainer(m_cfg, t_cfg, dm, loss, scaling_normalizers), t_cfg
 
 
+def _snapshot_run_config(trainer, run_config: Path) -> None:
+    """Reproducibility: copy the run config next to the checkpoints so a
+    checkpoint directory always records exactly which TOML produced it
+    (the reference has no equivalent; Lightning only does this for models
+    opting into save_hyperparameters)."""
+    import shutil
+
+    dst = trainer.ckpt.root / "run_config.toml"
+    try:
+        src_bytes = Path(run_config).read_bytes()
+        if dst.exists() and dst.read_bytes() != src_bytes:
+            # resumes with an EDITED config keep both: the original stays,
+            # the latest goes to a numbered sidecar
+            n = 1
+            while (trainer.ckpt.root / f"run_config.{n}.toml").exists():
+                n += 1
+            dst = trainer.ckpt.root / f"run_config.{n}.toml"
+        if not dst.exists():
+            shutil.copyfile(run_config, dst)
+    except OSError as e:  # snapshotting must never block a fit
+        log.warning("run-config snapshot failed: %s", e)
+
+
 def cmd_fit(args) -> int:
     trainer, t_cfg = _build_trainer(args)
+    _snapshot_run_config(trainer, args.run_config)
     import contextlib
 
     profile_dir = getattr(args, "profile", None)
