@@ -411,3 +411,51 @@ def test_loader_reproducible_and_thread_cleanup(trainer, tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_gradient_clip_val_wires_into_optimizer(tmp_path):
+    """trainer.gradient_clip_val clips the global grad norm BEFORE Adam
+    (Lightning's default clip algorithm): with clip=0.5 and grads of norm
+    5, Adam's first moment accumulates the clipped gradient; with the
+    default 0 the raw gradient. Pins the knob actually reaching the
+    optimizer chain."""
+    import jax.numpy as jnp
+    import optax
+
+    def make(clip):
+        ds_cfg = _boring_cfg(tmp_path / f"c{clip}")
+        dm = XmmDataModule(ds_cfg, splits_root=tmp_path / f"s{clip}",
+                           boring_size=8)
+        tr_cfg = TrainerCfg(
+            epochs=1, checkpoint_root=tmp_path / f"k{clip}",
+            mesh=MeshCfg(data="auto", fsdp=1), gradient_clip_val=clip,
+        )
+        loss = create_loss(None, LossCfg(l1=1.0))
+        return Trainer(_model_cfg(), tr_cfg, dm, loss, metric_names=["l1"])
+
+    params = {"w": jnp.zeros((2,))}
+    grads = {"w": jnp.asarray([3.0, 4.0])}  # global norm 5
+
+    def first_moment(tx):
+        state = tx.init(params)
+        _, new_state = tx.update(grads, state, params)
+        leaves = [s for s in jax.tree_util.tree_leaves(new_state)
+                  if np.asarray(s).shape == (2,)]
+        # ScaleByAdamState.mu and .nu both have param shape; mu = (1-b1)*g
+        # is the larger one for g<1... identify mu as the leaf matching
+        # (1-b1)*g_direction: just return all and let the caller match.
+        return leaves
+
+    t_clip = make(0.5)
+    t_plain = make(0.0)
+    b1 = 0.9
+
+    # plain: some state leaf equals (1-b1) * raw grads
+    target_plain = (1 - b1) * np.asarray([3.0, 4.0])
+    assert any(np.allclose(l, target_plain) for l in first_moment(t_plain.tx))
+
+    # clipped: grads scaled to norm 0.5 -> (1-b1) * [0.3, 0.4]
+    target_clip = (1 - b1) * np.asarray([0.3, 0.4])
+    moments = first_moment(t_clip.tx)
+    assert any(np.allclose(l, target_clip) for l in moments)
+    assert not any(np.allclose(l, target_plain) for l in moments)

@@ -230,6 +230,10 @@ class TrainerCfg(BaseModel):
     # epochs. 0 disables (reference behavior: fixed-epoch runs).
     early_stopping_patience: NonNegativeInt = 0
     early_stopping_min_delta: float = Field(0.0, ge=0)
+    # Lightning's gradient_clip_val (global-norm algorithm, its default):
+    # clip the global gradient norm before the Adam update. 0 disables
+    # (the reference never sets it — default reproduces its behavior).
+    gradient_clip_val: float = Field(0.0, ge=0)
     # Legacy reference keys accepted for config compatibility (train.py:141-155).
     # `strategy="fsdp"` is honored: it defaults the mesh to a 2-way fsdp axis
     # when the mesh section didn't already shard params (see validator).

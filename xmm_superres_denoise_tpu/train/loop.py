@@ -116,10 +116,19 @@ class Trainer:
         )
 
         self.model = build_model(model_config, self.lr_shape, self.hr_shape)
-        self.tx = optax.adam(
+        adam = optax.adam(
             learning_rate=model_config.optimizer.learning_rate,
             b1=model_config.optimizer.betas[0],
             b2=model_config.optimizer.betas[1],
+        )
+        # Lightning's gradient_clip_val knob (global-norm algorithm, its
+        # default); 0 disables — the reference never sets it, so the
+        # default reproduces reference behavior exactly.
+        clip = float(getattr(trainer_config, "gradient_clip_val", 0.0) or 0.0)
+        self.tx = (
+            optax.chain(optax.clip_by_global_norm(clip), adam)
+            if clip > 0.0
+            else adam
         )
 
         self.scaling_normalizers = scaling_normalizers or [
