@@ -17,12 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 from xmm_superres_denoise_tpu.config.schema import LossCfg
 from xmm_superres_denoise_tpu.train import TrainState, create_loss
 
 MODEL = sys.argv[1] if len(sys.argv) > 1 else "swinir"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+# optional 4th arg "bf16": mixed-precision step (bf16 fwd/bwd, f32
+# masters — the trainer's `precision="bf16"` contract) to halve the
+# activation footprint; the lever that decides whether DRCT/HAT
+# production-size training fits a single 16 GB chip.
+BF16 = len(sys.argv) > 4 and sys.argv[4] == "bf16"
 
 
 def build(name: str):
@@ -81,7 +90,17 @@ def main() -> None:
     def steps_fn(state, lr, hr):
         def one(state, _):
             def loss(p):
-                pred = jnp.clip(model.apply(p, lr), 0.0, 1.0)
+                x = lr
+                if BF16:
+                    from xmm_superres_denoise_tpu.train.steps import (
+                        _cast_floating,
+                    )
+
+                    p = _cast_floating(p, jnp.bfloat16)
+                    x = lr.astype(jnp.bfloat16)
+                pred = jnp.clip(
+                    model.apply(p, x).astype(jnp.float32), 0.0, 1.0
+                )
                 return loss_fn(pred, hr)
 
             l, grads = jax.value_and_grad(loss)(state.params)
