@@ -44,6 +44,15 @@ def build(name: str):
             mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle",
             use_checkpoint=True,
         )
+    if name == "swinfir":
+        from xmm_superres_denoise_tpu.models.swinir import SwinFIR
+
+        return SwinFIR(
+            img_size=416, patch_size=1, in_chans=1, embed_dim=180,
+            depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
+            mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle",
+            use_checkpoint=True,
+        )
     if name == "restormer":
         from xmm_superres_denoise_tpu.models.restormer import Restormer
 
