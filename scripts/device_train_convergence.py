@@ -16,7 +16,12 @@ convergence facts the judge asked for:
 Writes the epoch history + final summary to docs/convergence/ for the
 record.
 
-Usage: python scripts/device_train_convergence.py [epochs] [batch]
+Usage: python scripts/device_train_convergence.py [epochs] [batch] [model]
+
+model: "rrdb_denoise" (default) or "restormer" — the latter runs the
+production-geometry Restormer denoiser through the same Trainer stack
+(the on-device transformer-training convergence evidence; single-step
+timing in docs/TRAINING.md's zoo table).
 """
 
 from __future__ import annotations
@@ -29,12 +34,17 @@ import time
 import tomllib
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+MODEL = sys.argv[3] if len(sys.argv) > 3 else "rrdb_denoise"
 
 EXAMPLE = Path("/root/reference/data/example_data/sim")
 REPO = Path(__file__).resolve().parents[1]
-OUT = REPO / "docs" / "convergence"
+OUT = REPO / "docs" / (
+    "convergence" if MODEL == "rrdb_denoise" else f"convergence_{MODEL}"
+)
 
 
 def main() -> None:
@@ -104,14 +114,28 @@ def _run(work: Path) -> None:
         hr=HrDatasetCfg(exp=50, det_mask=mask, clamp_max=0.0022336, res=416),
     )
     dm = XmmDataModule(cfg, splits_root=work / "splits", seed=0)
-    mc = ModelCfg(
-        name="rrdb_denoise", memory_efficient=True, batch_size=BATCH,
-        s2d_train=True,
-        model=RrdbCfg(base_model="rrdb_denoise", filters=32,
-                      residual_blocks=4),
-        optimizer=OptimizerCfg(learning_rate=1e-4),
-    )
+    if MODEL == "restormer":
+        from xmm_superres_denoise_tpu.config import RestormerCfg
+
+        mc = ModelCfg(
+            name="restormer", memory_efficient=True, batch_size=BATCH,
+            model=RestormerCfg(base_model="restormer", dim=24),
+            optimizer=OptimizerCfg(learning_rate=2e-4),
+        )
+    else:
+        mc = ModelCfg(
+            name="rrdb_denoise", memory_efficient=True, batch_size=BATCH,
+            s2d_train=True,
+            model=RrdbCfg(base_model="rrdb_denoise", filters=32,
+                          residual_blocks=4),
+            optimizer=OptimizerCfg(learning_rate=1e-4),
+        )
+    # Restormer at 416^2 train OOMs one chip at f32 batch 4 and even bf16
+    # batch 2 without remat (decoder dwconv temps are ~170-340 MB each);
+    # bf16 + remat + batch 1 is the production recipe (docs/TRAINING.md
+    # zoo table trains exactly that at 243 ms/step).
     tc = TrainerCfg(epochs=EPOCHS, checkpoint_root=work / "ckpt",
+                    precision="bf16" if MODEL == "restormer" else "f32",
                     mesh=MeshCfg(data=1))
     with open(REPO / "res/configs/loss_functions.toml", "rb") as f:
         loss_toml = tomllib.load(f)
