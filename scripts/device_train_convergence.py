@@ -18,10 +18,12 @@ record.
 
 Usage: python scripts/device_train_convergence.py [epochs] [batch] [model]
 
-model: "rrdb_denoise" (default) or "restormer" — the latter runs the
-production-geometry Restormer denoiser through the same Trainer stack
-(the on-device transformer-training convergence evidence; single-step
-timing in docs/TRAINING.md's zoo table).
+model: "rrdb_denoise" (default), "restormer" (the on-device transformer
+-training convergence evidence; single-step timing in docs/TRAINING.md's
+zoo table) or "esr_gen" — the SuperRes flagship at full production
+geometry (20 ks 416^2 LR -> 100 ks 832^2 HR, hr_max=0.0005584 per
+/root/reference/models/XMM-SuperRes_sim_data_config.yaml:6-21), trained
+through the S2D fast path.
 """
 
 from __future__ import annotations
@@ -97,21 +99,34 @@ def _run(work: Path) -> None:
     from xmm_superres_denoise_tpu.train.loss import load_scaling_tables
 
     root, name = work / "data", "simds"
-    # DN geometry: 20 ks LR, 50 ks HR, both 1x (XMM-DeNoise production task)
-    for exp in ("20ks", "50ks"):
-        src = EXAMPLE / exp / "img" / "1x"
-        dst = root / name / "img" / exp / "1x"
+    # DN geometry: 20 ks LR, 50 ks HR, both 1x (XMM-DeNoise production
+    # task). SR geometry: 20 ks 1x LR, 100 ks 2x HR (XMM-SuperRes task).
+    links = (
+        [("20ks", "1x"), ("100ks", "2x")]
+        if MODEL == "esr_gen"
+        else [("20ks", "1x"), ("50ks", "1x")]
+    )
+    for exp, mult in links:
+        src = EXAMPLE / exp / "img" / mult
+        dst = root / name / "img" / exp / mult
         dst.parent.mkdir(parents=True, exist_ok=True)
         dst.symlink_to(src)
     mask = EXAMPLE / "detector_mask/1x/pn_mask_500_2000_detxy_1x.ds"
+    mask2 = EXAMPLE / "detector_mask/2x/pn_mask_500_2000_detxy_2x.ds"
 
+    if MODEL == "esr_gen":
+        hr = HrDatasetCfg(exp=100, det_mask=mask2, clamp_max=0.0005584,
+                          res=832)
+    else:
+        hr = HrDatasetCfg(exp=50, det_mask=mask, clamp_max=0.0022336,
+                          res=416)
     cfg = DatasetCfg(
         agn=0, batch_size=BATCH, debug=True, comb_hr=False,
         crop_mode="center", directory=root, mode="img", name=name,
         scaling="sqrt", type="sim",
         lr=LrDatasetCfg(bkg=0, det_mask=mask, exps=[20],
                         clamp_max=0.0022336, res=416),
-        hr=HrDatasetCfg(exp=50, det_mask=mask, clamp_max=0.0022336, res=416),
+        hr=hr,
     )
     dm = XmmDataModule(cfg, splits_root=work / "splits", seed=0)
     if MODEL == "restormer":
@@ -123,10 +138,13 @@ def _run(work: Path) -> None:
             optimizer=OptimizerCfg(learning_rate=2e-4),
         )
     else:
+        # esr_gen and rrdb_denoise share the RRDB trunk config
+        # (reference res/configs/models.toml:1-12); both train through the
+        # exact-gradient S2D fast path.
         mc = ModelCfg(
-            name="rrdb_denoise", memory_efficient=True, batch_size=BATCH,
+            name=MODEL, memory_efficient=True, batch_size=BATCH,
             s2d_train=True,
-            model=RrdbCfg(base_model="rrdb_denoise", filters=32,
+            model=RrdbCfg(base_model=MODEL, filters=32,
                           residual_blocks=4),
             optimizer=OptimizerCfg(learning_rate=1e-4),
         )
