@@ -287,7 +287,8 @@ struct BtField {
 };
 
 struct BtHandle {
-  unsigned char* data;  // whole (inflated) file, owned
+  unsigned char* data = nullptr;  // whole (inflated) file, owned
+  ~BtHandle() { free(data); }
   size_t size;
   size_t header_off;    // byte offset of the matched bintable header
   size_t header_len;
@@ -620,9 +621,7 @@ int xmmsr_bt_read_cols(void* handle, const char* const* names, int ncols,
 }
 
 void xmmsr_bt_close(void* handle) {
-  BtHandle* h = static_cast<BtHandle*>(handle);
-  free(h->data);
-  delete h;
+  delete static_cast<BtHandle*>(handle);  // ~BtHandle frees the buffer
 }
 
 // dims-only: returns 0 and writes (*h, *w) on success.

@@ -339,6 +339,27 @@ def test_cli_serve_batched(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_engine_subcommands_accept_mesh_data():
+    """Every subcommand that builds an InferenceEngine must register
+    --mesh_data (docs/SERVING.md documents it for all four); a missing
+    registration makes documented multi-chip serving unreachable."""
+    from xmm_superres_denoise_tpu.cli import build_parser
+
+    parser = build_parser()
+    argvs = {
+        "infer": ["infer", "--fits", "f", "--checkpoint", "c", "--out", "o",
+                  "--run_config", "r"],
+        "serve": ["serve", "f", "--checkpoint", "c", "--out", "o",
+                  "--run_config", "r"],
+        "http": ["http", "--checkpoint", "c", "--run_config", "r"],
+        "end2end": ["end2end", "--pps", "p", "--checkpoint", "c", "--out",
+                    "o", "--run_config", "r"],
+    }
+    for name, argv in argvs.items():
+        args = parser.parse_args(argv + ["--mesh_data", "-1"])
+        assert args.mesh_data == -1, name
+
+
 def test_print_logs_json_is_strict_json(capsys):
     """fit/test metric dumps must be strict JSON for tooling consumers:
     non-finite values (empty-split metrics) serialize as null, never the

@@ -530,8 +530,8 @@ def cmd_detxy(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+def build_parser() -> argparse.ArgumentParser:
+    """The full CLI surface (testable without dispatch)."""
     parser = argparse.ArgumentParser(prog="xmmsr")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -659,6 +659,10 @@ def main(argv=None) -> int:
                    help="w8a8 quantized serving (RRDB models)")
     p.add_argument("--int8_scales", type=Path, default=None,
                    help="persist/load fingerprint-bound int8 scales JSON")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard serving batches over an N-device data mesh "
+                        "(multi-chip batch parallelism; -1 = all local "
+                        "devices, 0/1 = single device)")
     p.set_defaults(func=cmd_end2end)
 
     p = sub.add_parser(
@@ -686,8 +690,12 @@ def main(argv=None) -> int:
     p.add_argument("--max_expo", type=float, default=20.0)
     p.add_argument("--use_sas", action="store_true")
     p.set_defaults(func=cmd_detxy)
+    return parser
 
-    args = parser.parse_args(argv)
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
     return args.func(args)
 
 
