@@ -79,20 +79,12 @@ _seed_cache()
 
 
 def _apply_cache_config() -> None:
-    """Point jax at the repo cache even when jax was PRE-IMPORTED.
+    """Point jax at the repo cache even when jax was PRE-IMPORTED (env var
+    too late under the axon site hook). Shared authority lives in
+    utils/jitcache; call after every `import jax` below."""
+    from xmm_superres_denoise_tpu.utils.jitcache import apply_cache_config
 
-    The env var only works when set before `import jax`; under site hooks
-    that pre-import jax (the axon dev runtime does) it is silently too
-    late — measured: candidates were paying full remote compiles with the
-    warm cache sitting unused. `jax.config.update` works at any point
-    before the first compile. Call after every `import jax` below."""
-    import jax
-
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE),
-        )
+    apply_cache_config(default=_REPO_CACHE)
 
 
 # Per-candidate budget: warm candidates run ~1.5-2 min; cold worst
@@ -322,6 +314,13 @@ def _emit_result() -> None:
             "backend unreachable: device init timed out; measured warm "
             "int8-b128 on this chip is 148.5 tiles/s (docs/PERFORMANCE.md)"
         )
+    elif pipeline == "failed":
+        # The backend probe succeeded but every candidate AND the inline
+        # fallback raised — a framework regression, not an outage.
+        payload["note"] = (
+            "framework failure: backend live but all candidates and the "
+            "inline fallback raised; see stderr"
+        )
     print(json.dumps(payload), flush=True)
 
 
@@ -503,7 +502,10 @@ def main(install_handlers: bool = True) -> None:
                 _results["inline"] = 4 / (time.perf_counter() - t0)
             except Exception as e:
                 print(f"bench: inline fallback failed: {e}", file=sys.stderr)
-                _results["unreachable"] = 0.0
+                # Distinct from "unreachable": the backend probe SUCCEEDED,
+                # so this is a framework failure (import/shape regression),
+                # not a dev-tunnel outage — do not mask it as environment.
+                _results["failed"] = 0.0
             finally:
                 signal.alarm(0)
                 signal.signal(signal.SIGALRM, old_alarm)

@@ -411,3 +411,12 @@ def test_snapshot_run_config(tmp_path):
     _snapshot_run_config(trainer, cfg)
     assert "epochs = 1" in (root / "run_config.toml").read_text()
     assert "epochs = 2" in (root / "run_config.1.toml").read_text()
+
+    # resuming again with the SAME already-recorded edit: no duplicate
+    _snapshot_run_config(trainer, cfg)
+    assert not (root / "run_config.2.toml").exists()
+
+    # a second distinct edit gets the next slot
+    cfg.write_text("[trainer]\nepochs = 3\n")
+    _snapshot_run_config(trainer, cfg)
+    assert "epochs = 3" in (root / "run_config.2.toml").read_text()

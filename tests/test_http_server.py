@@ -208,6 +208,43 @@ def test_http_error_paths(tmp_path):
         assert stats["requests"] == 6
 
 
+def test_http_busy_backpressure_and_idle_timeout(tmp_path):
+    """With every body slot taken, an upload gets an immediate 503 instead
+    of buffering unboundedly; handler sockets carry an idle timeout so a
+    stalled upload cannot pin its thread forever. The server keeps serving
+    once slots free up."""
+    from xmm_superres_denoise_tpu.infer.http_server import (
+        MAX_INFLIGHT_BODIES,
+        SOCKET_IDLE_TIMEOUT_S,
+        _Handler,
+    )
+
+    assert _Handler.timeout == SOCKET_IDLE_TIMEOUT_S > 0
+
+    engine, _ = _engine()
+    good = _detxy_bytes(tmp_path)
+
+    with _Server(engine) as s:
+        for _ in range(MAX_INFLIGHT_BODIES):
+            assert s.server.body_slots.acquire(blocking=False)
+        try:
+            req = urllib.request.Request(
+                s.url + "/infer", data=good, method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raise AssertionError("expected 503")
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert "busy" in json.loads(e.read())["error"]
+        finally:
+            for _ in range(MAX_INFLIGHT_BODIES):
+                s.server.body_slots.release()
+
+        status, _, blob = _post(s.url + "/infer", good)
+        assert status == 200
+        assert read_image(blob)[0].shape == (832, 832)
+
+
 def test_http_engine_failure_is_500_and_server_survives(tmp_path, monkeypatch):
     """An engine/device failure is OUR fault: 500 (not 400), logged, and
     the server keeps serving once the engine works again."""

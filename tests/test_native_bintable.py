@@ -125,6 +125,52 @@ def test_vector_column_repeat(tmp_path):
     assert np.array_equal(res[0]["V"], vals.astype(np.int32))
 
 
+def test_char_column_matches_python(tmp_path):
+    """TFORM '4A' character columns come back as S4 strings of shape
+    (nrows,), exactly like the pure-Python reader — not raw uint8 bytes."""
+    nrows, rep = 11, 4
+    vals = np.array([f"M{i:02d}".ljust(rep).encode() for i in range(nrows)],
+                    dtype=f"S{rep}")
+    ids = np.arange(nrows, dtype=">i4")
+    rowlen = rep + 4
+    cards = []
+
+    def card(k, v):
+        if isinstance(v, str):
+            return f"{k:<8}= '{v}'".ljust(80)
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80)
+        return f"{k:<8}= {v:>20}".ljust(80)
+
+    primary = (card("SIMPLE", True) + card("BITPIX", 8)
+               + card("NAXIS", 0) + card("EXTEND", True) + "END".ljust(80))
+    primary = primary.ljust(2880).encode()
+    table = (card("XTENSION", "BINTABLE") + card("BITPIX", 8)
+             + card("NAXIS", 2) + card("NAXIS1", rowlen)
+             + card("NAXIS2", nrows) + card("PCOUNT", 0)
+             + card("GCOUNT", 1) + card("TFIELDS", 2)
+             + card("TTYPE1", "MODE") + card("TFORM1", f"{rep}A")
+             + card("TTYPE2", "ID") + card("TFORM2", "1J")
+             + card("EXTNAME", "CHARS") + "END".ljust(80))
+    table = table.ljust(2880).encode()
+    rows = bytearray()
+    for i in range(nrows):
+        rows += vals[i] + ids[i : i + 1].tobytes()
+    data = bytes(rows) + b"\x00" * (-len(rows) % 2880)
+    path = tmp_path / "chars.fits"
+    path.write_bytes(primary + table + data)
+
+    cols_p, _ = read_bintable(path, columns=["MODE", "ID"], extname="CHARS")
+    res = read_bintable_native(path, ["MODE", "ID"], extname="CHARS")
+    assert res is not None
+    cols_n = res[0]
+    assert cols_n["MODE"].dtype == np.dtype(f"S{rep}")
+    assert cols_n["MODE"].shape == (nrows,)
+    assert np.array_equal(cols_n["MODE"], np.asarray(cols_p["MODE"]))
+    assert np.array_equal(cols_n["MODE"], vals)
+    assert np.array_equal(cols_n["ID"], np.arange(nrows, dtype=np.int32))
+
+
 def test_missing_column_omitted(tmp_path):
     path = _mixed_table(tmp_path / "ev.fits")
     res = read_bintable_native(path, ["TIME", "NOSUCH"], extname="EVENTS")

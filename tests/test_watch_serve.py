@@ -117,7 +117,9 @@ def test_watch_state_file_survives_restart(tmp_path):
     )
     assert n2 == 0
 
-    # overwrite the input (new mtime/size identity) -> served again
+    # overwrite the input (new mtime/size identity) -> served again, and
+    # the overwritten version's dead key is pruned from the state (a
+    # rotating production directory must not grow the state forever)
     _drop_detxy(watch, "a.fits", seed=1)
     os.utime(watch / "a.fits", ns=(1, 10**15))
     n3 = watch_and_serve(
@@ -125,6 +127,17 @@ def test_watch_state_file_survives_restart(tmp_path):
         poll_s=0.01, max_polls=2, state_path=state,
     )
     assert n3 == 1
+    served = json.loads(state.read_text())
+    assert len(served) == 1  # only the live version remains on record
+
+    # deleted input: its key is pruned on the next daemon pass
+    (watch / "a.fits").unlink()
+    n4 = watch_and_serve(
+        watch, engine, out, hr_exp_ks=100.0, model_name="esr_gen",
+        poll_s=0.01, max_polls=2, state_path=state,
+    )
+    assert n4 == 0
+    assert json.loads(state.read_text()) == {}
 
 
 def test_watch_new_arrivals_between_polls(tmp_path):

@@ -26,36 +26,12 @@ from pathlib import Path
 
 # Persistent XLA compilation cache: production-size compiles cost minutes
 # through the remote AOT service but ~1 s once cached (docs/PERFORMANCE.md).
-# Must be set before jax initializes (all jax imports below are lazy).
-# Default is the REPO-LOCAL cache (survives /tmp wipes, shared with
-# bench.py, not cross-user like a fixed /tmp path); env var overrides.
-# For an INSTALLED package, parents[1] lands in site-packages (read-only
-# in system installs, shared in multi-user ones) — use the per-user
-# cache dir instead.
-def _default_jit_cache() -> str:
-    repo_local = Path(__file__).resolve().parents[1]
-    installed = repo_local.name in ("site-packages", "dist-packages")
-    if not installed and os.access(repo_local, os.W_OK):
-        return str(repo_local / ".jit_cache")
-    return str(Path.home() / ".cache" / "xmmsr_jit_cache")
+# One shared authority (also used by bench.py and __graft_entry__.py)
+# covers both the before-jax-import (env var) and pre-imported-jax
+# (config route) cases; utils/__init__ is lazy so this pulls no jax.
+from .utils.jitcache import apply_cache_config
 
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _default_jit_cache())
-
-# Site hooks that PRE-IMPORT jax (the axon dev runtime's sitecustomize
-# does) make the env var silently too late; the config route works at any
-# point before the first compile. Only fill it when unset so an explicit
-# user/config choice wins.
-import sys as _sys
-
-if "jax" in _sys.modules:
-    import jax as _jax
-
-    if _jax.config.jax_compilation_cache_dir is None:
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ["JAX_COMPILATION_CACHE_DIR"],
-        )
+apply_cache_config()
 
 RES_DIR = Path(__file__).resolve().parents[1] / "res"
 
@@ -138,11 +114,17 @@ def _snapshot_run_config(trainer, run_config: Path) -> None:
         src_bytes = Path(run_config).read_bytes()
         if dst.exists() and dst.read_bytes() != src_bytes:
             # resumes with an EDITED config keep both: the original stays,
-            # the latest goes to a numbered sidecar
+            # the latest goes to a numbered sidecar — but a resume with an
+            # ALREADY-RECORDED edit must not mint a duplicate copy
             n = 1
-            while (trainer.ckpt.root / f"run_config.{n}.toml").exists():
+            while True:
+                sidecar = trainer.ckpt.root / f"run_config.{n}.toml"
+                if not sidecar.exists():
+                    break
+                if sidecar.read_bytes() == src_bytes:
+                    return  # this exact config is already on record
                 n += 1
-            dst = trainer.ckpt.root / f"run_config.{n}.toml"
+            dst = sidecar
         if not dst.exists():
             shutil.copyfile(run_config, dst)
     except OSError as e:  # snapshotting must never block a fit

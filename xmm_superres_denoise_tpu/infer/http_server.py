@@ -45,6 +45,18 @@ log = logging.getLogger("xmmsr")
 # leaving orders of magnitude of headroom for stacked/padded inputs.
 MAX_BODY_BYTES = 256 * 1024 * 1024
 
+# At most this many request bodies may be buffered in memory at once;
+# further uploads get an immediate 503 instead of growing host RSS
+# (the engine lock serializes device work anyway, so deep upload
+# concurrency buys nothing).
+MAX_INFLIGHT_BODIES = 4
+
+# Per-socket-op idle timeout: a client that stalls mid-upload (or never
+# sends its declared Content-Length) frees its handler thread and buffer
+# after this many seconds instead of pinning them forever. Applied by
+# socketserver's setup(); steady slow senders reset it on every recv.
+SOCKET_IDLE_TIMEOUT_S = 60.0
+
 
 class BadInput(ValueError):
     """Client-side failure: the request payload cannot be decoded/served
@@ -69,6 +81,7 @@ class InferenceHTTPServer(ThreadingHTTPServer):
         self.hr_exp_ks = float(hr_exp_ks)
         self.model_name = model_name
         self.engine_lock = threading.Lock()
+        self.body_slots = threading.BoundedSemaphore(MAX_INFLIGHT_BODIES)
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0
@@ -103,6 +116,10 @@ class InferenceHTTPServer(ThreadingHTTPServer):
 class _Handler(BaseHTTPRequestHandler):
     server: InferenceHTTPServer  # type: ignore[assignment]
     protocol_version = "HTTP/1.1"
+    # socketserver applies this as connection.settimeout(); a stalled
+    # socket op raises TimeoutError, which handle_one_request converts
+    # into close_connection — the thread and its buffer are released.
+    timeout = SOCKET_IDLE_TIMEOUT_S
 
     # http.server logs to stderr by default; route through our logger.
     def log_message(self, fmt: str, *args) -> None:  # noqa: A003
@@ -148,6 +165,25 @@ class _Handler(BaseHTTPRequestHandler):
                 "error": f"Content-Length required, 0 < n <= {MAX_BODY_BYTES}",
             })
             return
+        # Bound concurrent body buffering: beyond MAX_INFLIGHT_BODIES the
+        # client gets an immediate 503 (connection closed — draining the
+        # oversized backlog is exactly what this guard exists to avoid).
+        # The slot is held until the request finishes, since a body queued
+        # on the engine lock is still buffered in this thread.
+        if not self.server.body_slots.acquire(blocking=False):
+            self.close_connection = True
+            self.server.record(ok=False)
+            self._send_json(503, {
+                "error": f"busy: more than {MAX_INFLIGHT_BODIES} uploads "
+                         f"in flight",
+            })
+            return
+        try:
+            self._post_body(url, length)
+        finally:
+            self.server.body_slots.release()
+
+    def _post_body(self, url, length: int) -> None:
         # Always drain the body BEFORE any rejection response: answering
         # while the client is still sending resets the connection (the
         # client sees a broken pipe instead of the 400 JSON).

@@ -476,15 +476,28 @@ def watch_and_serve(
     while not stop.is_set() and (max_polls is None or polls < max_polls):
         polls += 1
         snapshot: dict = {}
+        live_keys: set = set()
         for d in watch_dirs:
             for f in sorted(d.glob(pattern)):
                 try:
                     st = f.stat()
                 except OSError:
                     continue  # vanished between glob and stat
-                if _key(f, st) in served:
+                k = _key(f, st)
+                live_keys.add(k)
+                if k in served:
                     continue
-                snapshot[f] = (st.st_size, st.st_mtime_ns, _key(f, st))
+                snapshot[f] = (st.st_size, st.st_mtime_ns, k)
+
+        # Prune served entries for file versions that can never match
+        # again (deleted or overwritten inputs): without this, a
+        # months-long daemon over a rotating directory grows its state
+        # monotonically — one dead key per file version ever seen.
+        stale = [k for k in served if k not in live_keys]
+        if stale:
+            for k in stale:
+                del served[k]
+            _persist()
 
         ready = [
             f for f, (size, mt, _) in snapshot.items()

@@ -91,7 +91,7 @@ def read_bintable_native(
     try:
         nrows = lib.xmmsr_bt_nrows(h)
 
-        present: List[Tuple[str, np.dtype, int]] = []
+        present: List[Tuple[str, np.dtype, int, int]] = []
         for name in columns:
             letter = ctypes.c_int()
             repeat = ctypes.c_long()
@@ -103,11 +103,11 @@ def read_bintable_native(
             dt = _LETTER_DTYPE.get(letter.value)
             if rc != 0 or dt is None:
                 return None  # bit arrays etc.: let the fallback decide
-            present.append((name, dt, int(repeat.value)))
+            present.append((name, dt, int(repeat.value), letter.value))
 
         out: Dict[str, np.ndarray] = {}
         bufs = []
-        for name, dt, repeat in present:
+        for name, dt, repeat, _ in present:
             arr = np.empty(
                 (nrows, repeat) if repeat > 1 else nrows, dt
             )
@@ -115,7 +115,7 @@ def read_bintable_native(
             bufs.append(arr)
         if present:
             names_arr = (ctypes.c_char_p * len(present))(
-                *[n.encode() for n, _, _ in present]
+                *[n.encode() for n, _, _, _ in present]
             )
             outs_arr = (ctypes.c_void_p * len(present))(
                 *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
@@ -125,6 +125,13 @@ def read_bintable_native(
             )
             if rc != 0:
                 return None
+            # 'A' (character) columns: match the pure-Python reader's
+            # S{repeat} strings of shape (nrows,), not raw uint8 bytes
+            for name, _, repeat, letter in present:
+                if letter == ord("A"):
+                    out[name] = np.ascontiguousarray(
+                        out[name]
+                    ).view(f"S{repeat}").reshape(nrows)
 
         hlen = lib.xmmsr_bt_header(h, None, 0)
         hbuf = ctypes.create_string_buffer(hlen)
