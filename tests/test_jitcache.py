@@ -17,7 +17,15 @@ REPO = Path(__file__).resolve().parents[1]
 
 def _no_sitehook_env():
     """Env without the axon site hook, so jax is NOT pre-imported."""
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # JAX_COMPILATION_CACHE_DIR: importing bench.py anywhere in the
+        # pytest process (test_bench_contract) setdefaults it into THIS
+        # process's env; a child inheriting it would defeat the
+        # apply_cache_config default under test.
+        if k not in ("PYTHONPATH", "JAX_COMPILATION_CACHE_DIR")
+    }
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
     return env
