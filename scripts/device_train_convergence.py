@@ -50,6 +50,10 @@ OUT = REPO / "docs" / (
 
 
 def main() -> None:
+    from xmm_superres_denoise_tpu.utils.jitcache import apply_cache_config
+
+    apply_cache_config()  # production-size train compiles are minutes cold
+
     import jax
 
     from xmm_superres_denoise_tpu.config.schema import (

@@ -20,7 +20,7 @@ from xmm_superres_denoise_tpu.io.fits import read_image, write_bintable, write_i
 REF_MASK = Path("/root/reference/res/detector_mask/pn_mask_500_2000_detxy_1x.ds")
 
 
-def _engine(sr=True, lr_res=416):
+def _engine(sr=True, lr_res=416, with_mask=True):
     hr_res = lr_res * 2 if sr else lr_res
     ds = DatasetCfg(
         directory=Path("."),
@@ -48,7 +48,7 @@ def _engine(sr=True, lr_res=416):
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, lr_res, lr_res, 1)))
     mask = None
-    if REF_MASK.exists():
+    if with_mask and REF_MASK.exists():
         mask, _ = read_image(REF_MASK)
         mask = mask.astype(np.float32)
     return InferenceEngine(mc, ds, params, det_mask=mask), ds
@@ -427,25 +427,51 @@ def test_write_products_stem_with_input_predict_words(tmp_path):
     assert len(set(all_paths)) == 4, all_paths
 
 
-def test_tiles_pipeline_oom_raises_actionable_error(monkeypatch):
+def test_tiles_pipeline_oom_degrades_batch(monkeypatch):
     """A device RESOURCE_EXHAUSTED during chunked serving (measured at int8
-    b64/b128 on a 16 GB chip) must surface as a RuntimeError naming the
-    batch-size knob, not a raw backend traceback."""
-    engine, _ = _engine(sr=True, lr_res=32)
+    b64/b128 on a 16 GB chip) must degrade: halve the chunk batch and
+    restart until a size fits, remember the cap on the engine, and only
+    raise once even batch 1 exhausts memory."""
+    engine, _ = _engine(sr=True, lr_res=32, with_mask=False)
+    tiles = np.random.default_rng(3).uniform(
+        0, 1e-3, (8, 32, 32)
+    ).astype(np.float32)
+    expected = engine.predict_tiles(tiles.copy(), batch_size=2)
 
+    real = engine._run_pred
+    sizes: list = []
+
+    def run_capped(params, chunk):
+        sizes.append(chunk.shape[0])
+        if chunk.shape[0] > 2:
+            raise Exception("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(params, chunk)
+
+    monkeypatch.setattr(engine, "_run_pred", run_capped)
+    out = engine.predict_tiles(tiles, batch_size=8)
+    assert out.shape[0] == 8
+    np.testing.assert_allclose(out, expected, rtol=0, atol=0)
+    assert engine._serve_batch_cap == 2
+    assert sizes == [8, 4, 2, 2, 2, 2]  # 8 OOM -> 4 OOM -> 2 fits (4 chunks)
+
+    # the remembered cap short-circuits rediscovery on the next call
+    sizes.clear()
+    engine.predict_tiles(tiles, batch_size=8)
+    assert sizes == [2, 2, 2, 2]
+
+    # a persistent OOM (even at batch 1) surfaces as a RuntimeError
     def boom(params, chunk):
         raise Exception("RESOURCE_EXHAUSTED: TPU backend error")
 
     monkeypatch.setattr(engine, "_run_pred", boom)
-    tiles = np.zeros((8, 32, 32), np.float32)
-    with pytest.raises(RuntimeError, match="reduce") as ei:
+    with pytest.raises(RuntimeError, match="batch_size=1"):
         engine.predict_tiles(tiles, batch_size=4)
-    assert "batch_size=4" in str(ei.value)
 
     # any other failure propagates untouched
     def other(params, chunk):
         raise ValueError("unrelated")
 
     monkeypatch.setattr(engine, "_run_pred", other)
+    engine._serve_batch_cap = 4
     with pytest.raises(ValueError, match="unrelated"):
         engine.predict_tiles(tiles, batch_size=4)

@@ -228,6 +228,45 @@ class InferenceEngine:
     _INFLIGHT = 2
 
     def _tiles_pipeline(self, raw, batch_size, runner, n_out):
+        """Chunked serving with graceful OOM degradation.
+
+        Runs `_tiles_pipeline_once` at `batch_size`; if the device
+        exhausts memory (the serve path holds readback buffers bench.py's
+        pure device chain never pays for, so its knee is lower —
+        docs/SERVING.md), the batch is halved and the pipeline restarted
+        from scratch until a size fits (floor 1). The working cap is
+        remembered on the engine so later calls (`serve_files` sub-batches,
+        the watch daemon) start there instead of re-discovering it."""
+        bs = min(batch_size, getattr(self, "_serve_batch_cap", batch_size))
+        while True:
+            try:
+                out = self._tiles_pipeline_once(raw, bs, runner, n_out)
+                if bs < batch_size:
+                    self._serve_batch_cap = bs
+                return out
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in repr(e):
+                    raise
+                if bs <= 1:
+                    # Measured on a 16 GB v5e: the SERVE path (pipelined
+                    # chunks + full-res output readback) exhausts memory
+                    # at int8 b64/b128 even though bench.py's device-side
+                    # chain runs b128; the serve knee is b32
+                    # (docs/SERVING.md). Reaching b1 means even a single
+                    # tile does not fit — nothing left to degrade.
+                    raise RuntimeError(
+                        "device out of memory serving even batch_size=1 "
+                        f"with {self._INFLIGHT + 1} chunks in flight"
+                    ) from e
+                failed = bs
+                bs = max(1, bs // 2)
+                log.warning(
+                    "serve: device out of memory at batch %d; retrying at "
+                    "%d (measured serve regime on a 16 GB chip: 32)",
+                    failed, bs,
+                )
+
+    def _tiles_pipeline_once(self, raw, batch_size, runner, n_out):
         """Shared chunk/pad/pipeline loop behind `predict_tiles` and
         `run_tiles`: splits (N, ...) into `batch_size` chunks, pads the
         tail chunk by repeating its last tile so every device program has
@@ -245,31 +284,18 @@ class InferenceEngine:
                 for lst, dev in zip(outs, res):
                     lst.append(np.asarray(dev)[:k])
 
-        try:
-            for i in range(0, n, batch_size):
-                chunk = raw[i : i + batch_size]
-                k = chunk.shape[0]
-                if k < batch_size:  # pad to the compiled shape, trim after
-                    pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                chunk = jnp.asarray(chunk, jnp.float32)
-                self._ensure_built(chunk)
-                chunk, _ = self._place(chunk)
-                pending.append((runner(self.params, chunk), k))
-                _drain(self._INFLIGHT)
-            _drain(0)
-        except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in repr(e):
-                raise
-            # Measured on a 16 GB v5e: the SERVE path (pipelined chunks +
-            # full-res output readback) exhausts memory at int8 b64/b128
-            # even though bench.py's pure device-side chain runs b128 —
-            # the serving knee is b32 (docs/SERVING.md).
-            raise RuntimeError(
-                f"device out of memory serving batch_size={batch_size} "
-                f"with {self._INFLIGHT + 1} chunks in flight — reduce "
-                f"--batch (measured serve regime on a 16 GB chip: 32)"
-            ) from e
+        for i in range(0, n, batch_size):
+            chunk = raw[i : i + batch_size]
+            k = chunk.shape[0]
+            if k < batch_size:  # pad to the compiled shape, trim after
+                pad = np.repeat(chunk[-1:], batch_size - k, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            chunk = jnp.asarray(chunk, jnp.float32)
+            self._ensure_built(chunk)
+            chunk, _ = self._place(chunk)
+            pending.append((runner(self.params, chunk), k))
+            _drain(self._INFLIGHT)
+        _drain(0)
         return tuple(np.concatenate(lst, axis=0) for lst in outs)
 
     def predict_tiles(
