@@ -72,13 +72,33 @@ def main() -> None:
 
     print("devices:", jax.devices(), flush=True)
     work = Path(tempfile.mkdtemp(prefix="xmmsr_conv_"))
+    # SIGTERM must unwind through the finally below (Python's default
+    # handler terminates without cleanup): a relay outage mid-run killed
+    # a 67-epoch history once — the evidence survives the kill now.
+    import signal
+
+    def _term(signum, frame):
+        # SystemExit (not KeyboardInterrupt: the trainer catches that for
+        # graceful stop and would then run test() against a dead device)
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _term)
+    done = False
     try:
         _run(work)
+        done = True
     finally:
-        # the 400-epoch checkpoint_root accumulates GBs; everything worth
-        # keeping was copied to docs/convergence/ already
+        # the 400-epoch checkpoint_root accumulates GBs; salvage the
+        # per-epoch history (appended live by the trainer) for any run
+        # that dies before the end-of-run copy, then drop the workdir
         import shutil
 
+        hist = work / "ckpt" / MODEL / "history.jsonl"
+        if not done and hist.exists():
+            OUT.mkdir(parents=True, exist_ok=True)
+            shutil.copy(hist, OUT / "history_partial.jsonl")
+            print(f"salvaged partial history -> {OUT}/history_partial.jsonl",
+                  flush=True)
         shutil.rmtree(work, ignore_errors=True)
 
 
