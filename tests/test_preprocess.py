@@ -94,3 +94,71 @@ def test_fused_preprocess():
     manual_p = np.zeros((416, 416), np.float32)
     manual_p[2:413, 6:409] = manual
     np.testing.assert_allclose(np.asarray(out), manual_p, rtol=1e-5, atol=1e-6)
+
+
+def test_geometry_property_fuzz():
+    """Property sweep: 150 seeded cases over random shapes/scales/crops.
+
+    Properties (each mirrors a reference-semantics invariant):
+      * pad_to_res is count-preserving (zero pad adds no flux) and
+        unpad_from_res inverts it exactly for any native shape <= res;
+      * the padded border is exactly zero;
+      * upsample_nearest with conserve_flux preserves total counts for any
+        scale (imageupsample.py:17-20), and without it multiplies flux by
+        scale**2;
+      * crop output shape is exactly int(h*crop_p) x int(w*crop_p), stays
+        in bounds for any (top_p, left_p) in [0, 1] (edge clamp,
+        crop.py:17-33), and is a verbatim subarray of the input;
+      * crop_fractions origins keep the crop window inside the image for
+        all three modes.
+    """
+    rng = np.random.default_rng(7)
+    for case in range(150):
+        h = int(rng.integers(1, 120))
+        w = int(rng.integers(1, 120))
+        res = int(max(h, w) + rng.integers(0, 40))
+        img = rng.uniform(0, 100, size=(h, w)).astype(np.float32)
+
+        padded = np.asarray(pad_to_res(jnp.asarray(img), res))
+        assert padded.shape == (res, res)
+        np.testing.assert_allclose(padded.sum(), img.sum(), rtol=1e-5)
+        back = np.asarray(unpad_from_res(jnp.asarray(padded), (h, w)))
+        np.testing.assert_array_equal(back, img)
+        total_nonzero = np.count_nonzero(padded)
+        assert total_nonzero <= img.size  # border contributed nothing
+
+        scale = int(rng.integers(1, 5))
+        up = np.asarray(upsample_nearest(jnp.asarray(img), scale))
+        assert up.shape == (h * scale, w * scale)
+        np.testing.assert_allclose(up.sum(), img.sum(), rtol=1e-4)
+        up_raw = np.asarray(
+            upsample_nearest(jnp.asarray(img), scale, conserve_flux=False)
+        )
+        np.testing.assert_allclose(
+            up_raw.sum(), img.sum() * scale * scale, rtol=1e-4
+        )
+
+        crop_p = float(rng.uniform(0.1, 1.0))
+        top_p = float(rng.uniform(0.0, 1.0))
+        left_p = float(rng.uniform(0.0, 1.0))
+        out = np.asarray(crop(jnp.asarray(img), crop_p, top_p, left_p))
+        if crop_p == 1.0:
+            np.testing.assert_array_equal(out, img)
+        else:
+            eh, ew = int(h * crop_p), int(w * crop_p)
+            assert out.shape == (eh, ew)
+            top = min(int(top_p * h), h - eh)
+            left = min(int(left_p * w), w - ew)
+            np.testing.assert_array_equal(
+                out, img[top : top + eh, left : left + ew]
+            )
+
+        for mode in ("random", "center", "boresight"):
+            tp, lp = crop_fractions(mode, crop_p, native_hw=(h, w), rng=rng)
+            # the binding invariant: crop() with these fractions stays in
+            # bounds and yields the full requested window (boresight origins
+            # can go slightly negative on tiny images; crop clamps)
+            cropped = np.asarray(
+                crop(jnp.asarray(img), crop_p, max(tp, 0.0), max(lp, 0.0))
+            )
+            assert cropped.shape == (int(h * crop_p), int(w * crop_p))
