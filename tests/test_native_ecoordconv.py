@@ -213,3 +213,74 @@ def test_sky_image_product(tmp_path):
     # x0+pb-0.5): the continuous map carries a half-unbinned-pixel term)
     np.testing.assert_allclose(hdr["CRPIX1"], (25921 - 1 - 79 / 2) / 80 + 1)
     np.testing.assert_allclose(hdr["CDELT1"], -80 * 1.38888888888889e-05)
+
+
+def test_det_to_sky_property_fuzz():
+    """Property sweep: 200 seeded cases over the whole sphere, incl. near
+    the poles (|DEC_PNT| up to 89.5), RA wrap at 0/360, and the full PA
+    range. Each case checks independent invariants of the gnomonic
+    detector->sky transform (ecoordconv semantics, xmmsas_tools.py:578-618):
+
+      * round-trip det -> sky -> det to sub-milli-DET-unit accuracy;
+      * the SEPARATION ORACLE: with zero DET-origin offset, the spherical
+        distance (independent haversine-free formula) from the pointing
+        equals atan(tan-plane radius) exactly — the defining property of
+        the TAN projection, and PA-independent;
+      * PA/rotation equivalence: rotating the detector vector by +theta
+        while increasing PA_PNT by theta leaves the sky position fixed;
+      * the arcsec offset is exactly a DET-unit shift (off/0.05 units).
+    """
+    rng = np.random.default_rng(424242)
+
+    def sep_arcsec(ra1, dec1, ra2, dec2):
+        d2r = np.pi / 180
+        # Vincenty formula (numerically stable at tiny separations) —
+        # deliberately a different formulation than the transform's atan2
+        s1, c1 = np.sin(dec1 * d2r), np.cos(dec1 * d2r)
+        s2, c2 = np.sin(dec2 * d2r), np.cos(dec2 * d2r)
+        dl = (ra2 - ra1) * d2r
+        num = np.hypot(c2 * np.sin(dl), c1 * s2 - s1 * c2 * np.cos(dl))
+        den = s1 * s2 + c1 * c2 * np.cos(dl)
+        return float(np.degrees(np.arctan2(num, den)) * 3600)
+
+    for case in range(200):
+        detx = float(rng.uniform(-17000, 17000))
+        dety = float(rng.uniform(-17000, 17000))
+        # bias toward the hard corners: poles and the RA wrap
+        if case % 4 == 0:
+            ra_p = float(rng.choice([0.001, 359.999, 0.02, 359.9]))
+            dec_p = float(rng.choice([-89.5, 89.5, -88.0, 88.0]))
+        else:
+            ra_p = float(rng.uniform(0, 360))
+            dec_p = float(rng.uniform(-89.0, 89.0))
+        pa = float(rng.uniform(0, 360))
+
+        ra, dec = det_to_sky(detx, dety, ra_p, dec_p, pa)
+        assert -90.0 <= dec <= 90.0 and 0.0 <= ra < 360.0
+        dx, dy = sky_to_det(ra, dec, ra_p, dec_p, pa)
+        assert abs(dx - detx) < 1e-3 and abs(dy - dety) < 1e-3
+
+        # separation oracle (zero offset isolates the projection itself)
+        ra0, dec0 = det_to_sky(detx, dety, ra_p, dec_p, pa, (0.0, 0.0))
+        unit = 0.05 / 3600.0  # deg per DET unit
+        expected = np.degrees(
+            np.arctan(np.radians(np.hypot(detx, dety) * unit))
+        ) * 3600
+        got = sep_arcsec(ra_p, dec_p, ra0, dec0)
+        assert abs(got - expected) < 1e-4  # arcsec
+
+        # rotation equivalence: R(+theta) on the det vector == PA + theta
+        theta = float(rng.uniform(0, 360))
+        tr = np.radians(theta)
+        rx = np.cos(tr) * detx - np.sin(tr) * dety
+        ry = np.sin(tr) * detx + np.cos(tr) * dety
+        ra_r, dec_r = det_to_sky(rx, ry, ra_p, dec_p, pa + theta, (0.0, 0.0))
+        assert sep_arcsec(ra0, dec0, ra_r, dec_r) < 1e-4
+
+        # the arcsec offset is a pure DET-unit shift
+        offx, offy = float(rng.uniform(-100, 100)), float(rng.uniform(-100, 100))
+        ra_o, dec_o = det_to_sky(detx, dety, ra_p, dec_p, pa, (offx, offy))
+        ra_s, dec_s = det_to_sky(
+            detx + offx / 0.05, dety + offy / 0.05, ra_p, dec_p, pa, (0.0, 0.0)
+        )
+        assert sep_arcsec(ra_o, dec_o, ra_s, dec_s) < 1e-4
