@@ -175,7 +175,7 @@ def dense_block_pallas(
     out = pl.pallas_call(
         _make_dense_block_kernel(h, w),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
         out_specs=pl.BlockSpec(
             (1, th, tw, c),
             lambda bi, i, j: (bi, i, j, 0),
