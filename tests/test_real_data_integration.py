@@ -207,6 +207,17 @@ def test_multi_exposure_index_expansion(sim_tree_two_exps, tmp_path):
     b1, e1 = dm.dataset.decompose_index(n_base)
     assert b0 == b1 == 0 and e0 == 0 and e1 == 1
 
+    # exhaustive uniformity: every (base, exposure) pair is indexed exactly
+    # once over the full range — the anti-aliasing property the mixed-radix
+    # decomposition exists for (reference defect at dataset.py:214-215)
+    from collections import Counter
+
+    pairs = Counter(
+        dm.dataset.decompose_index(i) for i in range(len(dm.dataset))
+    )
+    assert len(pairs) == n_base * 2
+    assert set(pairs.values()) == {1}
+
     # split expansion covers both exposure replicas
     tr = dm.split_indices("train")
     assert len(tr) == len(set(tr))
