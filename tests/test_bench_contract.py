@@ -120,12 +120,69 @@ def test_probe_backend_gives_up_before_deadline(monkeypatch):
 def test_launch_floor_scales_with_lead_duration():
     """Confirmation launches are gated on a window scaled to the observed
     lead-candidate duration (warm ~2 min vs cold ~13 min differ 6x); with
-    no result yet, any leftover window is spent hunting one."""
+    no result yet the lead launches with any window, but non-lead
+    candidates need a realistic warm-compile window (the leftover minutes
+    after a cold lead timeout belong to the cheap last-resort)."""
     bench = _load_bench()
     assert bench._launch_floor(0.0, False) == 30.0
+    assert bench._launch_floor(0.0, False, idx=0) == 30.0
+    assert bench._launch_floor(0.0, False, idx=1) == 360.0
     assert bench._launch_floor(120.0, True) == max(90.0, 0.8 * 120.0)
     assert bench._launch_floor(780.0, True) == 0.8 * 780.0  # cold lead
     assert bench._launch_floor(10.0, True) == 90.0  # fast lead: keep floor
+
+
+def test_cold_timeout_is_not_retried_and_cheap_candidate_wins(
+    monkeypatch, capsys
+):
+    """Fully cold cache: every big candidate times out. The lead timeout
+    must NOT be retried (round-3 observation: the retry restarted the same
+    >budget compile and burned the rest of the deadline), and the cheap
+    xla-b8 candidate must still deliver a real number."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_backend", lambda deadline: True)
+    calls = []
+
+    def fake_candidate(pipeline, batch, budget):
+        calls.append(f"{pipeline}-b{batch}")
+        if pipeline == "xla":
+            return 0, b"34.5\n", b""
+        raise subprocess.TimeoutExpired(cmd=pipeline, timeout=budget)
+
+    monkeypatch.setattr(bench, "_run_candidate", fake_candidate)
+    bench.main()
+    out = capsys.readouterr()
+    lines = [l for l in out.out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 34.5
+    assert calls.count("int8-b128") == 1, calls  # timeout not retried
+
+
+def test_last_resort_runs_inside_fallback_reserve(monkeypatch, capsys):
+    """After a cold lead timeout eats most of the deadline, non-lead big
+    candidates are skipped (360 s floor) and the last-resort xla-b8 runs
+    inside the reserved window."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_backend", lambda deadline: True)
+    # deadline small enough that, with the 300 s fallback reserve, only
+    # the lead (30 s floor) and then the last-resort can launch
+    monkeypatch.setattr(bench, "DEADLINE_S", 350.0)
+    calls = []
+
+    def fake_candidate(pipeline, batch, budget):
+        calls.append(f"{pipeline}-b{batch}")
+        if pipeline == "xla":
+            return 0, b"34.5\n", b""
+        raise subprocess.TimeoutExpired(cmd=pipeline, timeout=budget)
+
+    monkeypatch.setattr(bench, "_run_candidate", fake_candidate)
+    bench.main()
+    out = capsys.readouterr()
+    lines = [l for l in out.out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 34.5
+    assert calls == ["int8-b128", "xla-b8"], calls
+    assert "last-resort" in out.err
 
 
 def test_seed_cache_links_tracked_entries(monkeypatch, tmp_path):
