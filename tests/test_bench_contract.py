@@ -158,6 +158,30 @@ def test_cold_timeout_is_not_retried_and_cheap_candidate_wins(
     assert calls.count("int8-b128") == 1, calls  # timeout not retried
 
 
+def test_failed_note_distinguishes_cold_starvation(capsys):
+    """A 0.0 caused purely by budget timeouts (fully cold cache on a slow
+    tunnel) must say so — it is an environment condition, not a framework
+    regression — while a 0.0 with no timeouts stays a loud failure."""
+    bench = _load_bench()
+    bench._results["failed"] = 0.0
+    bench._timeouts = 3
+    bench._emit_result()
+    payload = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][0]
+    )
+    assert "cold-compile starvation" in payload["note"]
+
+    bench2 = _load_bench()
+    bench2._results["failed"] = 0.0
+    bench2._emit_result()
+    payload2 = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][0]
+    )
+    assert "framework failure" in payload2["note"]
+
+
 def test_last_resort_runs_inside_fallback_reserve(monkeypatch, capsys):
     """After a cold lead timeout eats most of the deadline, non-lead big
     candidates are skipped (360 s floor) and the last-resort xla-b8 runs
