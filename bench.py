@@ -483,7 +483,11 @@ def _last_resort_candidate(deadline: float) -> None:
     pipeline — the plain jitted bf16 forward at batch 8 has by far the
     smallest compile — inside the fallback reserve, so the driver gets a
     real measured number instead of 0.0."""
-    remaining = deadline - time.monotonic() - _RESERVE_S
+    # Keep ~2 min back for the in-process inline fallback: if this
+    # subprocess also times out (observed: even the plain-XLA chain cold
+    # compile exceeded 900 s on a slow tunnel session), the inline path
+    # still gets a real alarm window instead of the 10 s minimum.
+    remaining = deadline - time.monotonic() - _RESERVE_S - 120.0
     if _results or remaining < 60.0:
         return
     print(
