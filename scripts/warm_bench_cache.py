@@ -59,8 +59,17 @@ def main(argv=None) -> int:
             )
             dt = time.monotonic() - t0
             if proc.returncode == 0:
-                val = proc.stdout.strip().splitlines()[-1]
-                print(f"warm {key}: {float(val):.1f} tiles/s in {dt:.0f}s")
+                # rc==0 with empty/garbled stdout must not crash the warm
+                # loop and skip the remaining candidates (ADVICE r3 #4)
+                try:
+                    val = float(proc.stdout.strip().splitlines()[-1])
+                    print(f"warm {key}: {val:.1f} tiles/s in {dt:.0f}s")
+                except (IndexError, ValueError):
+                    failures += 1
+                    print(
+                        f"warm {key}: rc=0 but unparseable stdout "
+                        f"({proc.stdout[-120:]!r}) in {dt:.0f}s"
+                    )
             else:
                 failures += 1
                 print(

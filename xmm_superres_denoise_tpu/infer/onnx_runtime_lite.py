@@ -44,7 +44,7 @@ class OnnxGraph:
 
 
 def _parse_attr(buf: bytes):
-    name, f, i, s, ints = "", None, None, None, []
+    name, f, i, s, t, ints = "", None, None, None, None, []
     for fieldno, wtype, val in _iter_fields(buf):
         if fieldno == 1:
             name = val.decode()
@@ -54,6 +54,10 @@ def _parse_attr(buf: bytes):
             i = val
         elif fieldno == 4:
             s = val.decode()
+        elif fieldno == 5:
+            # t (TensorProto): torch's exporter emits Clip bounds / scalar
+            # multipliers as Constant nodes with a tensor `value` attr
+            t = _parse_tensor(val)[1]
         elif fieldno == 8:
             if wtype == 0:
                 ints.append(val)
@@ -71,7 +75,7 @@ def _parse_attr(buf: bytes):
                     ints.append(v)
     if ints:
         return name, ints
-    for v in (i, f, s):
+    for v in (i, f, s, t):
         if v is not None:
             return name, v
     return name, None
@@ -173,6 +177,10 @@ def run_graph(
             out = _depth_to_space(
                 np.asarray(ins[0]), int(a["blocksize"]), a.get("mode", "DCR")
             )
+        elif node.op_type == "Constant":
+            # torch legacy exporter (dynamo=False) emits Clip bounds and
+            # scalar multipliers as Constant nodes rather than initializers
+            out = np.asarray(a["value"])
         elif node.op_type == "Clip":
             def _scalar(v):
                 return float(np.asarray(v).reshape(-1)[0])
