@@ -176,3 +176,51 @@ def test_mixed_parity_dims_do_not_crash():
     for fn in (gmsd_per_image, ms_gmsd_per_image, haarpsi_per_image):
         out = fn(p, t)
         assert out.shape == (2,) and bool(jnp.isfinite(out).all()), fn.__name__
+
+
+def test_absolute_values_fixture():
+    """Absolute-value regression anchors (VERDICT r3 #6): every extended
+    metric must reproduce the committed fixture values on seeded synthetic
+    AND real example-data pairs. The fixture doubles as the piq-parity
+    vehicle: rerun scripts/make_extended_metric_fixture.py --piq wherever
+    piq is installed and the recorded piq values are asserted here too
+    (deltas per the fixture's methodology notes)."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    fixture_path = Path(__file__).parent / "fixtures" / "extended_metrics_expected.json"
+    fixture = json.loads(fixture_path.read_text())
+
+    spec = importlib.util.spec_from_file_location(
+        "_ext_fixture_gen",
+        Path(__file__).resolve().parents[1]
+        / "scripts"
+        / "make_extended_metric_fixture.py",
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    cases = {n: (p, t) for n, p, t in gen.synthetic_cases()}
+    cases.update({n: (p, t) for n, p, t in gen.example_data_cases()})
+
+    checked = 0
+    for name, entry in fixture["cases"].items():
+        if name not in cases:  # example data absent on this machine
+            continue
+        p, t = cases[name]
+        got = gen.intree_values(p, t)
+        for metric, expected in entry["intree"].items():
+            np.testing.assert_allclose(
+                got[metric], expected, rtol=1e-3, atol=1e-5,
+                err_msg=f"{name}/{metric} drifted from the committed anchor",
+            )
+            checked += 1
+        if "piq" in entry:
+            for metric, piq_vals in entry["piq"].items():
+                tol = 5e-3 if metric == "fsim" else 1e-3
+                np.testing.assert_allclose(
+                    got[metric], piq_vals, atol=tol,
+                    err_msg=f"{name}/{metric} disagrees with recorded piq",
+                )
+    assert checked >= 18  # 6 metrics x >=3 synthetic cases always present
