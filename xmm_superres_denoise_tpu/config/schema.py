@@ -184,6 +184,12 @@ class ModelCfg(BaseModel):
     # in-graph — exact same math/grads as the plain apply
     # (ops/s2d_forward.make_s2d_train_apply).
     s2d_train: bool = False
+    # Scan-compress the transformer group stacks (DRCT/HAT): one traced
+    # group body lax.scan'ed over stacked per-group params — collapses the
+    # production train graph ~6x so it fits runtime compile-size caps.
+    # Exact same math (tests/test_scan_layers.py); checkpoints convert via
+    # models.scan_stack.
+    scan_layers: bool = False
     model: Union[RrdbCfg, TransformerCfg, RestormerCfg] = Field(
         ..., discriminator="base_model"
     )

@@ -51,7 +51,11 @@ class RDG(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rate_override=None,
     ) -> Array:
         dim, gc, nh, ws = self.dim, self.gc, self.num_heads, self.window_size
 
@@ -82,33 +86,40 @@ class RDG(nn.Module):
             return to_tokens(img)
 
         x1 = adjust(
-            1, dim, gc, swin(1, dim, 0, self.mlp_ratio)(x, x_size, deterministic), True
+            1, dim, gc, swin(1, dim, 0, self.mlp_ratio)(x, x_size, deterministic, rate_override), True
         )
         cat1 = jnp.concatenate([x1, x], axis=-1)  # (x1, x) order, drct.py:152
         x2 = adjust(
             2, dim + gc, gc,
-            swin(2, dim + gc, ws // 2, self.mlp_ratio)(cat1, x_size, deterministic),
+            swin(2, dim + gc, ws // 2, self.mlp_ratio)(cat1, x_size, deterministic, rate_override),
             True,
         )
         cat2 = jnp.concatenate([cat1, x2], axis=-1)
         x3 = adjust(
             3, dim + 2 * gc, gc,
-            swin(3, dim + 2 * gc, 0, self.mlp_ratio)(cat2, x_size, deterministic),
+            swin(3, dim + 2 * gc, 0, self.mlp_ratio)(cat2, x_size, deterministic, rate_override),
             True,
         )
         cat3 = jnp.concatenate([cat2, x3], axis=-1)
         x4 = adjust(
             4, dim + 3 * gc, gc,
-            swin(4, dim + 3 * gc, ws // 2, 1.0)(cat3, x_size, deterministic),
+            swin(4, dim + 3 * gc, ws // 2, 1.0)(cat3, x_size, deterministic, rate_override),
             True,
         )
         cat4 = jnp.concatenate([cat3, x4], axis=-1)
         x5 = adjust(
             5, dim + 4 * gc, dim,
-            swin(5, dim + 4 * gc, 0, 1.0)(cat4, x_size, deterministic),
+            swin(5, dim + 4 * gc, 0, 1.0)(cat4, x_size, deterministic, rate_override),
             False,
         )
         return x5 * 0.2 + x  # fixed: reference returned `x` (drct.py:200-203)
+
+    def scan_step(self, x, rate, x_size, deterministic):
+        """`lax.scan` body over structurally-identical groups: carry = x,
+        scanned input = this group's drop-path rate. Collapses the unrolled
+        6-group train graph ~6x (the ~180 MB MLIR artifact that crashed the
+        dev runtime's remote AOT compile helper, docs/TRAINING.md)."""
+        return self(x, x_size, deterministic, rate), ()
 
 
 class DRCT(nn.Module):
@@ -130,6 +141,11 @@ class DRCT(nn.Module):
     upsampler: str = "pixelshuffle"
     gc: int = 32
     num_feat: int = 64
+    # scan-compress the group stack: one traced RDG body `lax.scan`ned over
+    # stacked per-group params instead of 6 unrolled copies. Exact same math
+    # (tests/test_scan_layers.py); param layout differs — convert with
+    # models.scan_stack.{stack,unstack}_layer_params.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -147,18 +163,51 @@ class DRCT(nn.Module):
         t = to_tokens(feat)
         if self.patch_norm:
             t = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(t)
-        for i in range(len(self.depths)):
-            t = RDG(
+        if self.scan_layers:
+            n = len(self.depths)
+            if len(set(self.num_heads)) != 1:
+                raise ValueError(
+                    "scan_layers requires uniform num_heads across groups, "
+                    f"got {self.num_heads}"
+                )
+            rates = jnp.asarray(
+                [dpr[sum(self.depths[:i])] for i in range(n)], jnp.float32
+            )
+            body = RDG
+            if self.use_checkpoint:
+                body = nn.remat(
+                    body, static_argnums=(3, 4), methods=["scan_step"]
+                )
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "droppath": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=n,
+                methods=["scan_step"],
+            )(
                 dim=ed,
                 input_resolution=patches_resolution,
-                num_heads=self.num_heads[i],
+                num_heads=self.num_heads[0],
                 window_size=self.window_size,
                 mlp_ratio=self.mlp_ratio,
                 gc=self.gc,
-                drop_path_rate=dpr[sum(self.depths[:i])],
-                use_checkpoint=self.use_checkpoint,
-                name=f"layers_{i}",
-            )(t, x_size, deterministic)
+                name="layers_scan",
+            )
+            t, _ = scanned.scan_step(t, rates, x_size, deterministic)
+        else:
+            for i in range(len(self.depths)):
+                t = RDG(
+                    dim=ed,
+                    input_resolution=patches_resolution,
+                    num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    mlp_ratio=self.mlp_ratio,
+                    gc=self.gc,
+                    drop_path_rate=dpr[sum(self.depths[:i])],
+                    use_checkpoint=self.use_checkpoint,
+                    name=f"layers_{i}",
+                )(t, x_size, deterministic)
         t = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
         body = to_image(t, x_size)
 

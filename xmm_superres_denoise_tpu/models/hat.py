@@ -163,7 +163,11 @@ class HAB(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rate_override: Optional[Array] = None,
     ) -> Array:
         h, w = x_size
         b, l, c = x.shape
@@ -193,25 +197,24 @@ class HAB(nn.Module):
             attn = jnp.roll(attn, (shift, shift), axis=(1, 2))
         attn_x = attn.reshape(b, l, c)
 
-        rng = (
-            self.make_rng("droppath")
-            if (not deterministic and self.drop_path_rate > 0.0)
-            else None
+        # rate_override: traced per-block rate from a scanned group stack
+        rate = (
+            rate_override if rate_override is not None else self.drop_path_rate
         )
+        use_dp = not deterministic and (
+            rate_override is not None or self.drop_path_rate > 0.0
+        )
+        rng = self.make_rng("droppath") if use_dp else None
         x = (
             shortcut
-            + drop_path(attn_x, self.drop_path_rate, deterministic, rng)
+            + drop_path(attn_x, rate, deterministic, rng)
             + conv_x * self.conv_scale
         )
         y = Mlp(int(c * self.mlp_ratio), c, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         )
-        rng2 = (
-            self.make_rng("droppath")
-            if (not deterministic and self.drop_path_rate > 0.0)
-            else None
-        )
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng2)
+        rng2 = self.make_rng("droppath") if use_dp else None
+        return x + drop_path(y, rate, deterministic, rng2)
 
 
 def unfold_overlap_windows(x: Array, ws: int, owin: int) -> Array:
@@ -335,7 +338,11 @@ class RHAG(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rates_override: Optional[Array] = None,
     ) -> Array:
         shortcut = x
         hab_cls = (
@@ -356,7 +363,12 @@ class RHAG(nn.Module):
                     self.drop_path_rates[i] if i < len(self.drop_path_rates) else 0.0
                 ),
                 name=f"blocks_{i}",
-            )(x, x_size, deterministic)
+            )(
+                x,
+                x_size,
+                deterministic,
+                None if rates_override is None else rates_override[i],
+            )
         x = OCAB(
             dim=self.dim,
             input_resolution=self.input_resolution,
@@ -370,6 +382,13 @@ class RHAG(nn.Module):
         if self.resi_connection == "1conv":
             img = conv2d_torch(self.dim, self.dim, name="conv")(img)
         return to_tokens(img) + shortcut
+
+    def scan_step(self, x, rates, x_size, deterministic):
+        """`lax.scan` body over structurally-identical RHAGs: carry = x,
+        scanned input = this group's (depth,) drop-path rate vector.
+        Collapses the unrolled 6-group train graph ~6x (docs/TRAINING.md
+        remote-AOT size-cap blocker)."""
+        return self(x, x_size, deterministic, rates), ()
 
 
 class HAT(nn.Module):
@@ -394,6 +413,10 @@ class HAT(nn.Module):
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
     num_feat: int = 64
+    # scan-compress the RHAG stack (one traced group body `lax.scan`ned over
+    # stacked per-group params). Exact same math (tests/test_scan_layers.py);
+    # param layout differs — models.scan_stack converts.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -411,24 +434,64 @@ class HAT(nn.Module):
         t = to_tokens(feat)
         if self.patch_norm:
             t = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(t)
-        for i, depth in enumerate(self.depths):
-            sl = slice(sum(self.depths[:i]), sum(self.depths[: i + 1]))
-            t = RHAG(
+        if self.scan_layers:
+            n = len(self.depths)
+            if len(set(self.num_heads)) != 1 or len(set(self.depths)) != 1:
+                raise ValueError(
+                    "scan_layers requires uniform depths/num_heads across "
+                    f"groups, got {self.depths}/{self.num_heads}"
+                )
+            rates = jnp.asarray(
+                np.asarray(dpr, np.float32).reshape(n, self.depths[0])
+            )
+            body = RHAG
+            if self.use_checkpoint:
+                # remat the whole scanned group; the per-HAB remat inside
+                # would nest a second remat for no extra memory win
+                body = nn.remat(
+                    body, static_argnums=(3, 4), methods=["scan_step"]
+                )
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "droppath": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=n,
+                methods=["scan_step"],
+            )(
                 dim=ed,
                 input_resolution=patches_resolution,
-                depth=depth,
-                num_heads=self.num_heads[i],
+                depth=self.depths[0],
+                num_heads=self.num_heads[0],
                 window_size=self.window_size,
                 compress_ratio=self.compress_ratio,
                 squeeze_factor=self.squeeze_factor,
                 conv_scale=self.conv_scale,
                 overlap_ratio=self.overlap_ratio,
                 mlp_ratio=self.mlp_ratio,
-                drop_path_rates=tuple(dpr[sl]),
-                use_checkpoint=self.use_checkpoint,
                 resi_connection=self.resi_connection,
-                name=f"layers_{i}",
-            )(t, x_size, deterministic)
+                name="layers_scan",
+            )
+            t, _ = scanned.scan_step(t, rates, x_size, deterministic)
+        else:
+            for i, depth in enumerate(self.depths):
+                sl = slice(sum(self.depths[:i]), sum(self.depths[: i + 1]))
+                t = RHAG(
+                    dim=ed,
+                    input_resolution=patches_resolution,
+                    depth=depth,
+                    num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    compress_ratio=self.compress_ratio,
+                    squeeze_factor=self.squeeze_factor,
+                    conv_scale=self.conv_scale,
+                    overlap_ratio=self.overlap_ratio,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path_rates=tuple(dpr[sl]),
+                    use_checkpoint=self.use_checkpoint,
+                    resi_connection=self.resi_connection,
+                    name=f"layers_{i}",
+                )(t, x_size, deterministic)
         t = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
         body = to_image(t, x_size)
 

@@ -61,6 +61,7 @@ def build_model(
             m,
             upscale=hr_shape[0] // lr_shape[0],
             memory_efficient=config.memory_efficient,
+            scan_layers=config.scan_layers,
         )
 
     if name is BaseModels.RESTORMER:

@@ -218,12 +218,18 @@ class WindowAttention(nn.Module):
 
 
 def drop_path(
-    x: Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+    x: Array, rate, deterministic: bool, rng: Optional[jax.Array]
 ) -> Array:
-    """Stochastic depth (tools.py:6-21): per-sample binary residual dropout."""
-    if deterministic or rate == 0.0 or rng is None:
+    """Stochastic depth (tools.py:6-21): per-sample binary residual dropout.
+
+    `rate` may be a python float OR a traced scalar (the scan-compressed
+    layer stacks feed per-group rates as scanned inputs) — only the static
+    zero short-circuits."""
+    if deterministic or rng is None:
         return x
-    keep = 1.0 - rate
+    if isinstance(rate, float) and rate == 0.0:
+        return x
+    keep = 1.0 - jnp.asarray(rate, x.dtype)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
     return x / keep * mask
@@ -249,7 +255,11 @@ class SwinTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rate_override: Optional[Array] = None,
     ) -> Array:
         h, w = x_size
         b, l, c = x.shape
@@ -277,21 +287,21 @@ class SwinTransformerBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(b, l, c)
 
-        rng = (
-            self.make_rng("droppath")
-            if (not deterministic and self.drop_path_rate > 0.0)
-            else None
+        # rate_override: traced per-group rate from a scanned layer stack
+        # (takes precedence over the static attribute)
+        rate = (
+            rate_override if rate_override is not None else self.drop_path_rate
         )
-        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+        use_dp = not deterministic and (
+            rate_override is not None or self.drop_path_rate > 0.0
+        )
+        rng = self.make_rng("droppath") if use_dp else None
+        x = shortcut + drop_path(x, rate, deterministic, rng)
         y = Mlp(int(c * self.mlp_ratio), c, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         )
-        rng2 = (
-            self.make_rng("droppath")
-            if (not deterministic and self.drop_path_rate > 0.0)
-            else None
-        )
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng2)
+        rng2 = self.make_rng("droppath") if use_dp else None
+        return x + drop_path(y, rate, deterministic, rng2)
 
 
 class BasicLayer(nn.Module):

@@ -20,6 +20,7 @@ def build_swin_family(
     cfg: TransformerCfg,
     upscale: int,
     memory_efficient: bool = False,
+    scan_layers: bool = False,
 ):
     common = dict(
         img_size=cfg.img_size,
@@ -33,6 +34,10 @@ def build_swin_family(
         use_checkpoint=memory_efficient,
         upscale=upscale,
     )
+    if scan_layers and name not in (BaseModels.DRCT, BaseModels.HAT):
+        raise ValueError(
+            f"scan_layers is implemented for drct/hat, not {name}"
+        )
     if name is BaseModels.SWINIR:
         return SwinIR(resi_connection="1conv", **common)
     if name is BaseModels.SWINFIR:
@@ -46,7 +51,7 @@ def build_swin_family(
                 "DRCT supports model.upsampler='pixelshuffle' only, got "
                 f"{cfg.upsampler!r}"
             )
-        return DRCT(**common)
+        return DRCT(scan_layers=scan_layers, **common)
     if name is BaseModels.HAT:
-        return HAT(**common)
+        return HAT(scan_layers=scan_layers, **common)
     raise ValueError(name)

@@ -163,6 +163,7 @@ def make_int8_s2d_forward(
     calib: Array | None = None,
     dtype=jnp.bfloat16,
     scales: dict[str, float] | None = None,
+    concat_free: bool = False,
 ):
     """Build a statically-calibrated w8a8 S2D forward.
 
@@ -172,6 +173,14 @@ def make_int8_s2d_forward(
     `scales` (from :func:`calibrate_int8_scales`) to skip the pass.
     Returns forward(x) -> clip(model-equivalent output, 0, 1); the trunk's
     60 convs and the head run int8 on the MXU, epilogues in `dtype`.
+
+    concat_free: evaluate each dense-level conv as a SUM of per-group int8
+    convs (one per concat input) instead of one conv over a materialized
+    concat. EXACTLY the same int32 accumulation — the per-group activation
+    scales are already folded into per-group weight slices (module
+    docstring), so partial conv results add directly — but the int8 concat
+    buffers (14 group-copies per dense block) never hit HBM. Measured on
+    the v5e before adoption (scripts/device_probe_int8_sumconv.py).
     """
     is_sr = isinstance(model, GeneratorRRDB_SR)
     if is_sr:
@@ -285,12 +294,19 @@ def make_int8_s2d_forward(
                 feats8 = [_quantize(x0, sb[bi][di][0][0])]
                 for level in range(5):
                     w8, c_o, b = qt["blocks"][bi][di][level]
-                    x8 = (
-                        jnp.concatenate(feats8, -1) if level else feats8[0]
-                    )
-                    y = (
-                        _conv_i8(x8, w8).astype(jnp.float32) * c_o + b
-                    ).astype(dtype)
+                    if concat_free and level:
+                        y32 = _conv_i8(feats8[0], w8[:, :, :gsz, :])
+                        for j in range(1, level + 1):
+                            y32 = y32 + _conv_i8(
+                                feats8[j],
+                                w8[:, :, j * gsz : (j + 1) * gsz, :],
+                            )
+                    else:
+                        x8 = (
+                            jnp.concatenate(feats8, -1) if level else feats8[0]
+                        )
+                        y32 = _conv_i8(x8, w8)
+                    y = (y32.astype(jnp.float32) * c_o + b).astype(dtype)
                     if level < 4:
                         h = _lrelu(y, 0.2)
                         feats8.append(
