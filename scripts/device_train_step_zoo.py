@@ -31,7 +31,11 @@ STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 # masters — the trainer's `precision="bf16"` contract) to halve the
 # activation footprint; the lever that decides whether DRCT/HAT
 # production-size training fits a single 16 GB chip.
-BF16 = len(sys.argv) > 4 and sys.argv[4] == "bf16"
+BF16 = "bf16" in sys.argv[4:]
+# "scan" (argv token): build DRCT/HAT with scan-compressed group stacks
+# (scan_layers=True) — the graph-size fix for the remote-AOT compile cap
+# that blocked their production-size train steps (docs/TRAINING.md).
+SCAN = "scan" in sys.argv[4:]
 
 
 def build(name: str):
@@ -64,7 +68,7 @@ def build(name: str):
             img_size=416, patch_size=1, in_chans=1, embed_dim=180,
             depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
             mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle", gc=32,
-            use_checkpoint=True,
+            use_checkpoint=True, scan_layers=SCAN,
         )
     if name == "hat":
         from xmm_superres_denoise_tpu.models.hat import HAT
@@ -73,12 +77,15 @@ def build(name: str):
             img_size=416, patch_size=1, in_chans=1, embed_dim=180,
             depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
             mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle",
-            use_checkpoint=True,
+            use_checkpoint=True, scan_layers=SCAN,
         )
     raise SystemExit(f"unknown model {name}")
 
 
 def main() -> None:
+    from xmm_superres_denoise_tpu.utils.jitcache import apply_cache_config
+
+    apply_cache_config()
     print("devices:", jax.devices(), flush=True)
     model = build(MODEL)
     g = np.random.default_rng(0)
