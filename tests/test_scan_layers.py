@@ -174,3 +174,34 @@ def test_registry_builds_scanned_models():
         )
         m = build_model(mc, (16, 16), (32, 32))
         assert m.scan_layers is True
+
+
+def test_onnx_roundtrip_through_scanned_layout(tmp_path):
+    """Scanned checkpoints export/import through the torch-named ONNX
+    format transparently (auto unstack on export, re-stack on import)."""
+    from xmm_superres_denoise_tpu.infer.onnx_import import (
+        export_onnx_params,
+        import_onnx_params,
+    )
+
+    x = _x()
+    m_s = DRCT(**DRCT_KW, scan_layers=True)
+    p_s = m_s.init(jax.random.PRNGKey(5), x)["params"]
+    path = export_onnx_params({"params": p_s}, tmp_path / "scan.onnx")
+
+    # names must be the unrolled/torch contract
+    from xmm_superres_denoise_tpu.infer.onnx_import import (
+        read_onnx_initializers,
+    )
+
+    names = set(read_onnx_initializers(path))
+    assert any(n.startswith("layers.0.") for n in names)
+    assert not any("layers_scan" in n for n in names)
+
+    back = import_onnx_params(path, p_s, allow_shape_fallback=False)
+    fa = jax.tree_util.tree_flatten_with_path(p_s)[0]
+    fb = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(fa) == len(fb)
+    for (kp_a, a), (kp_b, b) in zip(fa, fb):
+        assert kp_a == kp_b
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

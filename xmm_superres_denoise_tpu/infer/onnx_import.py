@@ -302,7 +302,24 @@ def import_onnx_params(
          `onnx::Conv_123`) — REFUSED when the shape is ambiguous among the
          remaining targets (repeated same-shape Swin blocks would silently
          scramble); disable entirely with allow_shape_fallback=False.
+
+    A scan-compressed template (DRCT/HAT `scan_layers=True`, stacked
+    `layers_scan` subtree) is handled transparently: the import runs
+    against the unrolled layout and the result is re-stacked.
     """
+    if isinstance(params_template, dict) and "layers_scan" in params_template:
+        from ..models.scan_stack import (
+            stack_layer_params,
+            unstack_layer_params,
+        )
+
+        unrolled = import_onnx_params(
+            onnx_path,
+            unstack_layer_params(params_template),
+            allow_shape_fallback,
+        )
+        return stack_layer_params(unrolled)
+
     inits = read_onnx_initializers(onnx_path)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
@@ -442,6 +459,12 @@ def export_onnx_params(params: Any, path: Union[str, Path]) -> Path:
     interchangeable with the reference's shipped checkpoint format."""
     if "params" in params:
         params = params["params"]
+    if "layers_scan" in params:
+        # scan-compressed checkpoint (DRCT/HAT scan_layers=True): unstack
+        # to the torch-name-compatible unrolled layout first
+        from ..models.scan_stack import unstack_layer_params
+
+        params = unstack_layer_params(params)
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     tensors: Dict[str, np.ndarray] = {}
     for keypath, leaf in flat:
