@@ -205,3 +205,41 @@ def test_onnx_roundtrip_through_scanned_layout(tmp_path):
     for (kp_a, a), (kp_b, b) in zip(fa, fb):
         assert kp_a == kp_b
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_swinir_scan_matches_unrolled():
+    """SwinIR/SwinFIR RSTB stacks scan-compress with the same contract."""
+    from xmm_superres_denoise_tpu.models.swinir import SwinFIR, SwinIR
+
+    for mk in (SwinIR, SwinFIR):
+        kw = dict(
+            img_size=16, patch_size=1, in_chans=1, embed_dim=8,
+            depths=(2, 2, 2), num_heads=(2, 2, 2), window_size=4,
+            mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle",
+        )
+        x = _x()
+        m_u = mk(**kw)
+        m_s = mk(**kw, scan_layers=True)
+        p_u = m_u.init(jax.random.PRNGKey(0), x)
+        p_s = {"params": stack_layer_params(p_u["params"])}
+        np.testing.assert_allclose(
+            np.asarray(m_s.apply(p_s, x)), np.asarray(m_u.apply(p_u, x)),
+            rtol=2e-6, atol=2e-6,
+        )
+        g_u = jax.grad(
+            lambda p: jnp.sum(m_u.apply({"params": p}, x) ** 2)
+        )(p_u["params"])
+        g_s = unstack_layer_params(
+            jax.grad(lambda p: jnp.sum(m_s.apply({"params": p}, x) ** 2))(
+                p_s["params"]
+            )
+        )
+        for (kp_u, a), (kp_s, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_u)[0],
+            jax.tree_util.tree_flatten_with_path(g_s)[0],
+        ):
+            assert kp_u == kp_s
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
+                err_msg=str(kp_u),
+            )

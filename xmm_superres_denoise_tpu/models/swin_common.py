@@ -320,7 +320,11 @@ class BasicLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rates_override: Optional[Array] = None,
     ) -> Array:
         block_cls = (
             nn.remat(SwinTransformerBlock, static_argnums=(2, 3))
@@ -343,7 +347,12 @@ class BasicLayer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 drop_path_rate=dp,
                 name=f"blocks_{i}",
-            )(x, x_size, deterministic)
+            )(
+                x,
+                x_size,
+                deterministic,
+                None if rates_override is None else rates_override[i],
+            )
         return x
 
 

@@ -34,14 +34,12 @@ def build_swin_family(
         use_checkpoint=memory_efficient,
         upscale=upscale,
     )
-    if scan_layers and name not in (BaseModels.DRCT, BaseModels.HAT):
-        raise ValueError(
-            f"scan_layers is implemented for drct/hat, not {name}"
-        )
     if name is BaseModels.SWINIR:
-        return SwinIR(resi_connection="1conv", **common)
+        return SwinIR(resi_connection="1conv", scan_layers=scan_layers,
+                      **common)
     if name is BaseModels.SWINFIR:
-        return SwinIR(resi_connection="SFB", **common)
+        return SwinIR(resi_connection="SFB", scan_layers=scan_layers,
+                      **common)
     if name is BaseModels.DRCT:
         if cfg.upsampler != "pixelshuffle":
             # no silent coercion: '' (the SwinIR denoise-head selector)

@@ -192,7 +192,11 @@ class RSTB(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, x_size: Tuple[int, int], deterministic: bool = True
+        self,
+        x: Array,
+        x_size: Tuple[int, int],
+        deterministic: bool = True,
+        rates_override=None,
     ) -> Array:
         res = BasicLayer(
             dim=self.dim,
@@ -205,7 +209,7 @@ class RSTB(nn.Module):
             drop_path_rates=tuple(self.drop_path_rates),
             use_checkpoint=self.use_checkpoint,
             name="residual_group",
-        )(x, x_size, deterministic)
+        )(x, x_size, deterministic, rates_override)
         img = to_image(res, x_size)
         if self.resi_connection == "1conv":
             img = conv2d_torch(self.dim, self.dim, name="conv")(img)
@@ -218,6 +222,12 @@ class RSTB(nn.Module):
         else:
             raise ValueError(self.resi_connection)
         return to_tokens(img) + x
+
+    def scan_step(self, x, rates, x_size, deterministic):
+        """`lax.scan` body over structurally-identical RSTBs: carry = x,
+        scanned input = this layer's (depth,) drop-path rate vector
+        (graph-compression strategy of models/scan_stack.py)."""
+        return self(x, x_size, deterministic, rates), ()
 
 
 class SwinIR(nn.Module):
@@ -239,6 +249,10 @@ class SwinIR(nn.Module):
     upsampler: str = ""
     resi_connection: str = "1conv"
     num_feat: int = 64
+    # scan-compress the RSTB stack (one traced layer body `lax.scan`ned over
+    # stacked per-layer params). Exact same math (tests/test_scan_layers.py);
+    # param layout differs — models.scan_stack converts.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -264,21 +278,61 @@ class SwinIR(nn.Module):
             t = to_tokens(feat)
             if self.patch_norm:
                 t = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(t)
-            for i, depth in enumerate(self.depths):
-                sl = slice(sum(self.depths[:i]), sum(self.depths[: i + 1]))
-                t = RSTB(
+            if self.scan_layers:
+                n = len(self.depths)
+                if (
+                    len(set(self.num_heads)) != 1
+                    or len(set(self.depths)) != 1
+                ):
+                    raise ValueError(
+                        "scan_layers requires uniform depths/num_heads "
+                        f"across layers, got {self.depths}/{self.num_heads}"
+                    )
+                rates = jnp.asarray(
+                    np.asarray(dpr, np.float32).reshape(n, self.depths[0])
+                )
+                body = RSTB
+                if self.use_checkpoint:
+                    body = nn.remat(
+                        body, static_argnums=(3, 4), methods=["scan_step"]
+                    )
+                scanned = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "droppath": True},
+                    in_axes=(0, nn.broadcast, nn.broadcast),
+                    length=n,
+                    methods=["scan_step"],
+                )(
                     dim=ed,
                     input_resolution=patches_resolution,
-                    depth=depth,
-                    num_heads=self.num_heads[i],
+                    depth=self.depths[0],
+                    num_heads=self.num_heads[0],
                     window_size=self.window_size,
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
-                    drop_path_rates=tuple(dpr[sl]),
-                    use_checkpoint=self.use_checkpoint,
                     resi_connection=self.resi_connection,
-                    name=f"layers_{i}",
-                )(t, x_size, deterministic)
+                    name="layers_scan",
+                )
+                t, _ = scanned.scan_step(t, rates, x_size, deterministic)
+            else:
+                for i, depth in enumerate(self.depths):
+                    sl = slice(
+                        sum(self.depths[:i]), sum(self.depths[: i + 1])
+                    )
+                    t = RSTB(
+                        dim=ed,
+                        input_resolution=patches_resolution,
+                        depth=depth,
+                        num_heads=self.num_heads[i],
+                        window_size=self.window_size,
+                        mlp_ratio=self.mlp_ratio,
+                        qkv_bias=self.qkv_bias,
+                        drop_path_rates=tuple(dpr[sl]),
+                        use_checkpoint=self.use_checkpoint,
+                        resi_connection=self.resi_connection,
+                        name=f"layers_{i}",
+                    )(t, x_size, deterministic)
             t = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
             return to_image(t, x_size)
 
