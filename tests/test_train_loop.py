@@ -459,3 +459,59 @@ def test_gradient_clip_val_wires_into_optimizer(tmp_path):
     moments = first_moment(t_clip.tx)
     assert any(np.allclose(l, target_clip) for l in moments)
     assert not any(np.allclose(l, target_plain) for l in moments)
+
+
+@pytest.mark.slow
+def test_scan_layers_fit_and_resume(tmp_path):
+    """Full Trainer stack with a scan-compressed DRCT (round 4): fit,
+    orbax save of the stacked-param state, and mid-run resume reproducing
+    the uninterrupted run exactly — proving the scanned layout flows
+    through the train loop, checkpoints, and best-val tracking."""
+    from xmm_superres_denoise_tpu.config import TransformerCfg
+
+    def make_trainer(root):
+        ds_cfg = _boring_cfg(root, lr_res=32, res_mult=2, batch=4)
+        dm = XmmDataModule(ds_cfg, splits_root=root / "splits", boring_size=12)
+        tr_cfg = TrainerCfg(
+            epochs=3, checkpoint_root=root / "ckpt", mesh=MeshCfg(data=2),
+        )
+        mc = ModelCfg(
+            name="drct",
+            memory_efficient=True,
+            batch_size=4,
+            scan_layers=True,
+            model=TransformerCfg(
+                base_model="drct", img_size=32, window_size=8, embed_dim=64,
+                num_heads=[2, 2], depths=[2, 2], patch_size=1,
+                upsampler="pixelshuffle",
+            ),
+            optimizer=OptimizerCfg(learning_rate=2e-3, betas=(0.9, 0.999)),
+        )
+        loss = create_loss(None, LossCfg(l1=1.0))
+        return Trainer(mc, tr_cfg, dm, loss, metric_names=["psnr"])
+
+    t_full = make_trainer(tmp_path / "full")
+    state = t_full.init_state(seed=0)
+    assert "layers_scan" in state.params["params"]
+    stacked = jax.tree_util.tree_leaves(
+        state.params["params"]["layers_scan"]
+    )[0]
+    assert stacked.shape[0] == 2  # group axis
+    full = t_full.fit(seed=0)
+    assert len(full.history) == 3
+
+    t_a = make_trainer(tmp_path / "resumed")
+    t_a.trainer_config.epochs = 2
+    t_a.fit(seed=0)
+    t_b = make_trainer(tmp_path / "resumed")
+    resumed = t_b.fit(seed=0, resume=True)
+    assert len(resumed.history) == 1 and resumed.history[0]["epoch"] == 2
+
+    final_full, _ = t_full.ckpt.restore(jax.device_get(t_full.init_state()))
+    final_res, _ = t_b.ckpt.restore(jax.device_get(t_b.init_state()))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_full.params),
+        jax.tree_util.tree_leaves(final_res.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
