@@ -20,10 +20,13 @@ Usage: python scripts/device_train_convergence.py [epochs] [batch] [model]
 
 model: "rrdb_denoise" (default), "restormer" (the on-device transformer
 -training convergence evidence; single-step timing in docs/TRAINING.md's
-zoo table) or "esr_gen" — the SuperRes flagship at full production
+zoo table), "esr_gen" — the SuperRes flagship at full production
 geometry (20 ks 416^2 LR -> 100 ks 832^2 HR, hr_max=0.0005584 per
 /root/reference/models/XMM-SuperRes_sim_data_config.yaml:6-21), trained
-through the S2D fast path.
+through the S2D fast path — or "drct" — the DRCT transformer at full
+production geometry through the scan-compressed group stacks
+(scan_layers=True, bf16 + remat; the round-4 single-chip unlock,
+docs/TRAINING.md).
 """
 
 from __future__ import annotations
@@ -127,7 +130,7 @@ def _run(work: Path) -> None:
     # task). SR geometry: 20 ks 1x LR, 100 ks 2x HR (XMM-SuperRes task).
     links = (
         [("20ks", "1x"), ("100ks", "2x")]
-        if MODEL == "esr_gen"
+        if MODEL in ("esr_gen", "drct")
         else [("20ks", "1x"), ("50ks", "1x")]
     )
     for exp, mult in links:
@@ -138,7 +141,7 @@ def _run(work: Path) -> None:
     mask = EXAMPLE / "detector_mask/1x/pn_mask_500_2000_detxy_1x.ds"
     mask2 = EXAMPLE / "detector_mask/2x/pn_mask_500_2000_detxy_2x.ds"
 
-    if MODEL == "esr_gen":
+    if MODEL in ("esr_gen", "drct"):
         hr = HrDatasetCfg(exp=100, det_mask=mask2, clamp_max=0.0005584,
                           res=832)
     else:
@@ -161,6 +164,21 @@ def _run(work: Path) -> None:
             model=RestormerCfg(base_model="restormer", dim=24),
             optimizer=OptimizerCfg(learning_rate=2e-4),
         )
+    elif MODEL == "drct":
+        from xmm_superres_denoise_tpu.config import TransformerCfg
+
+        # production DRCT hparams (reference res/configs/models.toml
+        # [drct]) through the round-4 scan-compressed single-chip path
+        mc = ModelCfg(
+            name="drct", memory_efficient=True, batch_size=BATCH,
+            scan_layers=True,
+            model=TransformerCfg(
+                base_model="drct", img_size=416, patch_size=1,
+                window_size=16, embed_dim=180, num_heads=[6] * 6,
+                depths=[6] * 6, upsampler="pixelshuffle",
+            ),
+            optimizer=OptimizerCfg(learning_rate=2e-4),
+        )
     else:
         # esr_gen and rrdb_denoise share the RRDB trunk config
         # (reference res/configs/models.toml:1-12); both train through the
@@ -177,7 +195,9 @@ def _run(work: Path) -> None:
     # bf16 + remat + batch 1 is the production recipe (docs/TRAINING.md
     # zoo table trains exactly that at 243 ms/step).
     tc = TrainerCfg(epochs=EPOCHS, checkpoint_root=work / "ckpt",
-                    precision="bf16" if MODEL == "restormer" else "f32",
+                    precision=(
+                        "bf16" if MODEL in ("restormer", "drct") else "f32"
+                    ),
                     mesh=MeshCfg(data=1))
     with open(REPO / "res/configs/loss_functions.toml", "rb") as f:
         loss_toml = tomllib.load(f)
