@@ -130,7 +130,7 @@ def _run(work: Path) -> None:
     # task). SR geometry: 20 ks 1x LR, 100 ks 2x HR (XMM-SuperRes task).
     links = (
         [("20ks", "1x"), ("100ks", "2x")]
-        if MODEL in ("esr_gen", "drct")
+        if MODEL in ("esr_gen", "drct", "hat")
         else [("20ks", "1x"), ("50ks", "1x")]
     )
     for exp, mult in links:
@@ -141,7 +141,7 @@ def _run(work: Path) -> None:
     mask = EXAMPLE / "detector_mask/1x/pn_mask_500_2000_detxy_1x.ds"
     mask2 = EXAMPLE / "detector_mask/2x/pn_mask_500_2000_detxy_2x.ds"
 
-    if MODEL in ("esr_gen", "drct"):
+    if MODEL in ("esr_gen", "drct", "hat"):
         hr = HrDatasetCfg(exp=100, det_mask=mask2, clamp_max=0.0005584,
                           res=832)
     else:
@@ -164,16 +164,17 @@ def _run(work: Path) -> None:
             model=RestormerCfg(base_model="restormer", dim=24),
             optimizer=OptimizerCfg(learning_rate=2e-4),
         )
-    elif MODEL == "drct":
+    elif MODEL in ("drct", "hat"):
         from xmm_superres_denoise_tpu.config import TransformerCfg
 
-        # production DRCT hparams (reference res/configs/models.toml
-        # [drct]) through the round-4 scan-compressed single-chip path
+        # production transformer hparams (reference res/configs/models.toml
+        # [drct]/[hat]) through the round-4 scan-compressed single-chip path
         mc = ModelCfg(
-            name="drct", memory_efficient=True, batch_size=BATCH,
+            name=MODEL, memory_efficient=True, batch_size=BATCH,
             scan_layers=True,
             model=TransformerCfg(
-                base_model="drct", img_size=416, patch_size=1,
+                base_model=MODEL, img_size=416,
+                patch_size=1 if MODEL == "drct" else 1,
                 window_size=16, embed_dim=180, num_heads=[6] * 6,
                 depths=[6] * 6, upsampler="pixelshuffle",
             ),
@@ -196,7 +197,7 @@ def _run(work: Path) -> None:
     # zoo table trains exactly that at 243 ms/step).
     tc = TrainerCfg(epochs=EPOCHS, checkpoint_root=work / "ckpt",
                     precision=(
-                        "bf16" if MODEL in ("restormer", "drct") else "f32"
+                        "bf16" if MODEL in ("restormer", "drct", "hat") else "f32"
                     ),
                     mesh=MeshCfg(data=1))
     with open(REPO / "res/configs/loss_functions.toml", "rb") as f:
