@@ -23,8 +23,8 @@ model: "rrdb_denoise" (default), "restormer" (the on-device transformer
 zoo table), "esr_gen" — the SuperRes flagship at full production
 geometry (20 ks 416^2 LR -> 100 ks 832^2 HR, hr_max=0.0005584 per
 /root/reference/models/XMM-SuperRes_sim_data_config.yaml:6-21), trained
-through the S2D fast path — or "drct" — the DRCT transformer at full
-production geometry through the scan-compressed group stacks
+through the S2D fast path — or "drct"/"hat" — those transformers at
+full production geometry through the scan-compressed group stacks
 (scan_layers=True, bf16 + remat; the round-4 single-chip unlock,
 docs/TRAINING.md).
 """
@@ -173,8 +173,7 @@ def _run(work: Path) -> None:
             name=MODEL, memory_efficient=True, batch_size=BATCH,
             scan_layers=True,
             model=TransformerCfg(
-                base_model=MODEL, img_size=416,
-                patch_size=1 if MODEL == "drct" else 1,
+                base_model=MODEL, img_size=416, patch_size=1,
                 window_size=16, embed_dim=180, num_heads=[6] * 6,
                 depths=[6] * 6, upsampler="pixelshuffle",
             ),
