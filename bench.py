@@ -356,14 +356,20 @@ def _emit_result() -> None:
                 f"inline fallback raised ({_hard_failures} hard failure(s), "
                 f"{_timeouts} timeout(s)); see stderr"
             )
-    elif pipeline == _last_resort_key:
-        # Honesty marker (ADVICE r3 #2): this number came from the cheap
-        # last-resort pipeline after the big candidates starved on cold
-        # compiles — it is NOT the production pipeline's throughput.
+    elif pipeline.startswith("xla"):
+        # Honesty marker (ADVICE r3 #2): the plain-XLA pipeline can only
+        # win when every faster candidate failed to finish — whether it
+        # ran as the reserved last resort OR as the tail of the normal
+        # sweep, the number is NOT the production pipeline's throughput.
+        how = (
+            "last-resort"
+            if pipeline == _last_resort_key
+            else "sweep-tail"
+        )
         payload["note"] = (
-            "last-resort xla-b8: big candidates starved on cold compile; "
-            "warm int8-b128 on this chip is 148.5 tiles/s "
-            "(docs/PERFORMANCE.md)"
+            f"{how} {pipeline}: the int8/s2d candidates did not finish "
+            "(cold compiles); warm int8-b128 on this chip is 148.5 "
+            "tiles/s (docs/PERFORMANCE.md)"
         )
     print(json.dumps(payload), flush=True)
 

@@ -54,7 +54,7 @@ REPS = 2
 
 
 def _time(fn, *args):
-    fn(*args)  # compile + warm
+    jax.block_until_ready(fn(*args))  # compile + warm, fully drained
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()

@@ -80,6 +80,13 @@ def run(variant: str, batch: int) -> float:
 if __name__ == "__main__":
     variant = sys.argv[1] if len(sys.argv) > 1 else None
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    if variant is not None and variant not in ("concat", "cfree"):
+        # an A/B probe must not silently run the wrong arm: a lone batch
+        # number or a typo here would poison the recorded sweep
+        raise SystemExit(
+            f"variant must be 'concat' or 'cfree', got {variant!r} "
+            "(usage: device_probe_int8_sumconv.py [variant] [batch])"
+        )
     if variant:
         run(variant, batch)
     else:

@@ -243,3 +243,51 @@ def test_swinir_scan_matches_unrolled():
                 np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
                 err_msg=str(kp_u),
             )
+
+
+def test_scan_layers_rejected_for_non_swin():
+    """Round-4 review: scan_layers on a model with no scanned form must
+    fail loudly, not silently no-op."""
+    from xmm_superres_denoise_tpu.config.schema import (
+        ModelCfg,
+        OptimizerCfg,
+        RrdbCfg,
+    )
+    from xmm_superres_denoise_tpu.models.registry import build_model
+
+    mc = ModelCfg(
+        name="rrdb_denoise", batch_size=1, scan_layers=True,
+        model=RrdbCfg(base_model="rrdb_denoise", filters=8,
+                      residual_blocks=2),
+        optimizer=OptimizerCfg(learning_rate=1e-4),
+    )
+    with pytest.raises(ValueError, match="scan_layers"):
+        build_model(mc, (16, 16), (16, 16))
+
+
+def test_drct_unrolled_remat_matches_plain():
+    """Round-4 review: DRCT's unrolled path silently dropped
+    use_checkpoint — it now remats its Swin blocks (reference
+    model.py:41-46) with identical outputs."""
+    x = _x(4)
+    m_plain = DRCT(**DRCT_KW)
+    m_remat = DRCT(**DRCT_KW, use_checkpoint=True)
+    p = m_plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_remat.apply(p, x)), np.asarray(m_plain.apply(p, x)),
+        rtol=1e-6, atol=1e-6,
+    )
+    g_a = jax.grad(lambda q: jnp.sum(m_plain.apply({"params": q}, x) ** 2))(
+        p["params"]
+    )
+    g_b = jax.grad(lambda q: jnp.sum(m_remat.apply({"params": q}, x) ** 2))(
+        p["params"]
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_a)[0],
+        jax.tree_util.tree_flatten_with_path(g_b)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=str(kp),
+        )

@@ -59,6 +59,15 @@ class RDG(nn.Module):
     ) -> Array:
         dim, gc, nh, ws = self.dim, self.gc, self.num_heads, self.window_size
 
+        # reference DRCT checkpoints its Swin blocks under memory_efficient
+        # (model.py:41-46 activation-ckpt policy on SwinTransformerBlock);
+        # round-4 review: this was silently dropped on the unrolled path
+        block_cls = (
+            nn.remat(SwinTransformerBlock, static_argnums=(2, 3))
+            if self.use_checkpoint
+            else SwinTransformerBlock
+        )
+
         def swin(i: int, channels: int, shift: int, mlp_ratio: float):
             # Block 1 uses num_heads directly; blocks 2-5 use the reference's
             # divisibility-correction formula (drct.py:34-101).
@@ -67,7 +76,7 @@ class RDG(nn.Module):
                 if i == 1 or channels % nh == 0
                 else nh - (channels % nh)
             )
-            return SwinTransformerBlock(
+            return block_cls(
                 dim=channels,
                 input_resolution=self.input_resolution,
                 num_heads=heads,
@@ -173,26 +182,18 @@ class DRCT(nn.Module):
             rates = jnp.asarray(
                 [dpr[sum(self.depths[:i])] for i in range(n)], jnp.float32
             )
-            body = RDG
-            if self.use_checkpoint:
-                body = nn.remat(
-                    body, static_argnums=(3, 4), methods=["scan_step"]
-                )
-            scanned = nn.scan(
-                body,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "droppath": True},
-                in_axes=(0, nn.broadcast, nn.broadcast),
+            from .scan_stack import scanned_group_module
+
+            scanned = scanned_group_module(
+                RDG,
                 length=n,
-                methods=["scan_step"],
-            )(
+                use_checkpoint=self.use_checkpoint,
                 dim=ed,
                 input_resolution=patches_resolution,
                 num_heads=self.num_heads[0],
                 window_size=self.window_size,
                 mlp_ratio=self.mlp_ratio,
                 gc=self.gc,
-                name="layers_scan",
             )
             t, _ = scanned.scan_step(t, rates, x_size, deterministic)
         else:

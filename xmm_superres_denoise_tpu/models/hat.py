@@ -444,21 +444,12 @@ class HAT(nn.Module):
             rates = jnp.asarray(
                 np.asarray(dpr, np.float32).reshape(n, self.depths[0])
             )
-            body = RHAG
-            if self.use_checkpoint:
-                # remat the whole scanned group; the per-HAB remat inside
-                # would nest a second remat for no extra memory win
-                body = nn.remat(
-                    body, static_argnums=(3, 4), methods=["scan_step"]
-                )
-            scanned = nn.scan(
-                body,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "droppath": True},
-                in_axes=(0, nn.broadcast, nn.broadcast),
+            from .scan_stack import scanned_group_module
+
+            scanned = scanned_group_module(
+                RHAG,
                 length=n,
-                methods=["scan_step"],
-            )(
+                use_checkpoint=self.use_checkpoint,
                 dim=ed,
                 input_resolution=patches_resolution,
                 depth=self.depths[0],
@@ -470,7 +461,6 @@ class HAT(nn.Module):
                 overlap_ratio=self.overlap_ratio,
                 mlp_ratio=self.mlp_ratio,
                 resi_connection=self.resi_connection,
-                name="layers_scan",
             )
             t, _ = scanned.scan_step(t, rates, x_size, deterministic)
         else:

@@ -23,6 +23,20 @@ def build_model(
     name = config.name
     m = config.model
 
+    if config.scan_layers and name not in (
+        BaseModels.SWINIR,
+        BaseModels.SWINFIR,
+        BaseModels.DRCT,
+        BaseModels.HAT,
+    ):
+        # fail loudly: the flag exists to compress repeated transformer
+        # group stacks; silently ignoring it would leave the compile-size
+        # symptom it addresses in place with a config that looks correct
+        raise ValueError(
+            f"scan_layers is a Swin-family knob (swinir/swinfir/drct/hat); "
+            f"{name.value} has no scanned form"
+        )
+
     if name is BaseModels.ESR_GEN:
         up_scale = hr_shape[0] / lr_shape[0]
         # each upsample stage is a x2 PixelShuffle, so the scale must be a

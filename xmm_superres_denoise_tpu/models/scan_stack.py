@@ -27,6 +27,33 @@ import jax.numpy as jnp
 _LAYER_RE = re.compile(r"^layers_(\d+)$")
 
 
+def scanned_group_module(body_cls, *, length: int, use_checkpoint: bool,
+                         name: str = "layers_scan", **module_kwargs):
+    """Construct the scan-compressed group-stack module (one authority for
+    the nn.scan/nn.remat wiring shared by DRCT/HAT/SwinIR).
+
+    `body_cls` must expose `scan_step(self, x, rates, x_size,
+    deterministic) -> (x, ())` — carry first, then the scanned per-group
+    drop-path rates, then two broadcast args (hence in_axes/static_argnums
+    below: remat's static_argnums count self as 0). Call the result's
+    `.scan_step(x, rates, x_size, deterministic)`."""
+    from flax import linen as nn
+
+    body = body_cls
+    if use_checkpoint:
+        # remat the WHOLE scanned group body (per-block remat inside would
+        # nest a second remat for no extra memory win)
+        body = nn.remat(body, static_argnums=(3, 4), methods=["scan_step"])
+    return nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "droppath": True},
+        in_axes=(0, nn.broadcast, nn.broadcast),
+        length=length,
+        methods=["scan_step"],
+    )(name=name, **module_kwargs)
+
+
 def stack_layer_params(
     params: Dict, dest: str = "layers_scan"
 ) -> Dict:

@@ -291,19 +291,12 @@ class SwinIR(nn.Module):
                 rates = jnp.asarray(
                     np.asarray(dpr, np.float32).reshape(n, self.depths[0])
                 )
-                body = RSTB
-                if self.use_checkpoint:
-                    body = nn.remat(
-                        body, static_argnums=(3, 4), methods=["scan_step"]
-                    )
-                scanned = nn.scan(
-                    body,
-                    variable_axes={"params": 0},
-                    split_rngs={"params": True, "droppath": True},
-                    in_axes=(0, nn.broadcast, nn.broadcast),
+                from .scan_stack import scanned_group_module
+
+                scanned = scanned_group_module(
+                    RSTB,
                     length=n,
-                    methods=["scan_step"],
-                )(
+                    use_checkpoint=self.use_checkpoint,
                     dim=ed,
                     input_resolution=patches_resolution,
                     depth=self.depths[0],
@@ -312,7 +305,6 @@ class SwinIR(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     resi_connection=self.resi_connection,
-                    name="layers_scan",
                 )
                 t, _ = scanned.scan_step(t, rates, x_size, deterministic)
             else:
