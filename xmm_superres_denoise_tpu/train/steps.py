@@ -222,11 +222,21 @@ def make_accum_steps(
     return grad_step, apply_step
 
 
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
 def accum_add(acc, delta):
-    """Accumulate (grads, loss_sum, weight_sum) triples (jitted tree-add)."""
+    """Accumulate (grads, loss_sum, weight_sum) triples (jitted tree-add).
+
+    One jitted call per accumulation instead of one `jnp.add` dispatch per
+    LEAF: the per-leaf ufunc dispatch storm (hundreds per step) was both
+    measurable host overhead and the crash site of a flaky jax-0.9.0-CPU
+    abort under long suite runs (round-4 postmortem, README CI note)."""
     if acc is None:
         return delta
-    return jax.tree_util.tree_map(jnp.add, acc, delta)
+    return _tree_add(acc, delta)
 
 
 def make_eval_step(
