@@ -320,7 +320,14 @@ def _emit_result() -> None:
         # the bf16 S2D/XLA paths hold 1e-3-grade parity with the f32 model
         # (s2d exact-rearrangement + bf16 rounding); f32 is parity-grade.
         "fidelity": _fidelity_class(pipeline),
-        "candidates": {k: round(v, 2) for k, v in _results.items()},
+        # measured candidates only: pipeline/status sentinels ("failed",
+        # "unreachable", "inline") are NOT throughput measurements and
+        # must not read as a 0.0 tiles/s candidate (ADVICE r4 #3)
+        "candidates": {
+            k: round(v, 2)
+            for k, v in _results.items()
+            if k not in ("failed", "unreachable")
+        },
     }
     if pipeline == "inline":
         # Honesty marker: no real candidate finished (e.g. fully cold

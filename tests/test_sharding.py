@@ -203,3 +203,31 @@ def test_mean_metrics_invariant_to_device_count():
     )
     for name, v in direct.items():
         np.testing.assert_allclose(results[1][name], float(v), rtol=1e-5)
+
+
+def test_fsdp_spec_scan_axis_exclusion():
+    """Scan-stacked leaves must never shard the leading group axis
+    (lax.scan slices it per iteration); fsdp_shardings detects the
+    `layers_scan` subtree by tree path and excludes axis 0."""
+    from xmm_superres_denoise_tpu.parallel.sharding import fsdp_shardings
+
+    # direct spec rule
+    assert fsdp_spec((6, 1024, 512), 2, min_size=0, exclude_axes=(0,)) == P(
+        None, "fsdp", None
+    )
+    # without exclusion the group axis CAN win (6 divides, 513 doesn't)...
+    assert fsdp_spec((6, 513), 2, min_size=0) == P("fsdp", None)
+    # ...with exclusion the leaf falls back to replicated
+    assert fsdp_spec((6, 513), 2, min_size=0, exclude_axes=(0,)) == P()
+
+    # path-aware tree rule: same shape, different placement by subtree.
+    # (8, 127, 127): only the leading axis divides fsdp=2 — a conv leaf
+    # shards it, a scan-stacked leaf must stay replicated instead.
+    mesh = make_mesh(data=4, fsdp=2)
+    params = {
+        "layers_scan": {"w": jnp.zeros((8, 127, 127))},
+        "conv": {"w": jnp.zeros((8, 127, 127))},
+    }
+    sh = fsdp_shardings(params, mesh)
+    assert sh["conv"]["w"].spec == P("fsdp", None, None)
+    assert sh["layers_scan"]["w"].spec == P()

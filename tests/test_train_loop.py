@@ -515,3 +515,102 @@ def test_scan_layers_fit_and_resume(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_scan_layers_fsdp_fit_and_resume(tmp_path):
+    """scan_layers x FSDP (VERDICT r4 #4): the scan-compressed DRCT through
+    `make_fsdp_train_step` with params GSPMD-sharded over the fsdp mesh
+    axis. DRCT/HAT default `scan_layers=true` and are exactly the models
+    the reference FSDPs (train.py:142-146), so the combination must hold:
+
+      * stacked `layers_scan` leaves never shard their leading group axis
+        (lax.scan slices it per iteration — parallel/sharding.fsdp_shardings
+        excludes axis 0 for scanned subtrees), while their weight axes DO
+        shard;
+      * one FSDP train step from a shared init matches the DP scanned step
+        (same math, different partitioning);
+      * fit + orbax resume reproduce the uninterrupted run.
+    """
+    from xmm_superres_denoise_tpu.config import TransformerCfg
+    from xmm_superres_denoise_tpu.parallel.mesh import FSDP_AXIS
+
+    def make_trainer(root, fsdp):
+        ds_cfg = _boring_cfg(root, lr_res=32, res_mult=2, batch=8)
+        dm = XmmDataModule(ds_cfg, splits_root=root / "splits", boring_size=16)
+        tr_cfg = TrainerCfg(
+            epochs=3,
+            checkpoint_root=root / "ckpt",
+            mesh=MeshCfg(data=4, fsdp=2) if fsdp else MeshCfg(data=4),
+        )
+        mc = ModelCfg(
+            name="drct",
+            memory_efficient=True,
+            batch_size=8,
+            scan_layers=True,
+            model=TransformerCfg(
+                base_model="drct", img_size=32, window_size=8, embed_dim=64,
+                num_heads=[2, 2], depths=[2, 2], patch_size=1,
+                upsampler="pixelshuffle",
+            ),
+            optimizer=OptimizerCfg(learning_rate=2e-3, betas=(0.9, 0.999)),
+        )
+        loss = create_loss(None, LossCfg(l1=1.0))
+        return Trainer(mc, tr_cfg, dm, loss, metric_names=["psnr"])
+
+    t_full = make_trainer(tmp_path / "full", fsdp=True)
+    assert t_full._fsdp
+    state = t_full.init_state(seed=0)
+    scan_tree = state.params["params"]["layers_scan"]
+    assert jax.tree_util.tree_leaves(scan_tree)[0].shape[0] == 2  # group axis
+    scan_specs = [
+        tuple(l.sharding.spec) for l in jax.tree_util.tree_leaves(scan_tree)
+    ]
+    # leading group axis NEVER sharded ...
+    assert all(
+        (len(s) == 0 or s[0] is None) for s in scan_specs
+    ), scan_specs
+    # ... while the weight axes of the big scanned leaves are
+    assert any(
+        FSDP_AXIS in s for s in scan_specs
+    ), "no scanned leaf actually fsdp-sharded"
+
+    # single-step numerics vs the DP scanned path from the same init
+    t_dp = make_trainer(tmp_path / "dp", fsdp=False)
+    assert not t_dp._fsdp
+    state_dp = t_dp.init_state(seed=0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state_dp.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    batch_fsdp = next(iter(
+        t_full.dm.loader("train", mesh=t_full.mesh, epoch=0)
+    ))
+    batch_dp = next(iter(t_dp.dm.loader("train", mesh=t_dp.mesh, epoch=0)))
+    np.testing.assert_array_equal(
+        np.asarray(batch_fsdp["lr"]), np.asarray(batch_dp["lr"])
+    )
+    _, loss_fsdp = t_full._train_step(state, batch_fsdp)
+    _, loss_dp = t_dp._train_step(state_dp, batch_dp)
+    np.testing.assert_allclose(
+        float(loss_fsdp), float(loss_dp), rtol=1e-5, atol=1e-7
+    )
+
+    full = t_full.fit(seed=0)
+    assert len(full.history) == 3
+
+    t_a = make_trainer(tmp_path / "resumed", fsdp=True)
+    t_a.trainer_config.epochs = 2
+    t_a.fit(seed=0)
+    t_b = make_trainer(tmp_path / "resumed", fsdp=True)
+    resumed = t_b.fit(seed=0, resume=True)
+    assert len(resumed.history) == 1 and resumed.history[0]["epoch"] == 2
+
+    final_full, _ = t_full.ckpt.restore(jax.device_get(t_full.init_state()))
+    final_res, _ = t_b.ckpt.restore(jax.device_get(t_b.init_state()))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_full.params),
+        jax.tree_util.tree_leaves(final_res.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

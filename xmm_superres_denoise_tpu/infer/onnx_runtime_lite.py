@@ -45,6 +45,7 @@ class OnnxGraph:
 
 def _parse_attr(buf: bytes):
     name, f, i, s, t, ints = "", None, None, None, None, []
+    floats: list = []
     for fieldno, wtype, val in _iter_fields(buf):
         if fieldno == 1:
             name = val.decode()
@@ -58,6 +59,13 @@ def _parse_attr(buf: bytes):
             # t (TensorProto): torch's exporter emits Clip bounds / scalar
             # multipliers as Constant nodes with a tensor `value` attr
             t = _parse_tensor(val)[1]
+        elif fieldno == 7:
+            if wtype == 5:
+                floats.append(struct.unpack("<f", val)[0])
+            else:  # packed repeated float: 4-byte little-endian chunks
+                floats.extend(
+                    struct.unpack(f"<{len(val) // 4}f", val[: len(val) // 4 * 4])
+                )
         elif fieldno == 8:
             if wtype == 0:
                 ints.append(val)
@@ -75,6 +83,8 @@ def _parse_attr(buf: bytes):
                     ints.append(v)
     if ints:
         return name, ints
+    if floats:
+        return name, floats
     for v in (i, f, s, t):
         if v is not None:
             return name, v
@@ -179,8 +189,24 @@ def run_graph(
             )
         elif node.op_type == "Constant":
             # torch legacy exporter (dynamo=False) emits Clip bounds and
-            # scalar multipliers as Constant nodes rather than initializers
-            out = np.asarray(a["value"])
+            # scalar multipliers as Constant nodes rather than initializers.
+            # Exporter paths may use any of the value_* attribute spellings.
+            if "value" in a:
+                out = np.asarray(a["value"])
+            elif "value_float" in a:
+                out = np.asarray(a["value_float"], dtype=np.float32)
+            elif "value_int" in a:
+                out = np.asarray(a["value_int"], dtype=np.int64)
+            elif "value_floats" in a:
+                out = np.asarray(a["value_floats"], dtype=np.float32)
+            elif "value_ints" in a:
+                out = np.asarray(a["value_ints"], dtype=np.int64)
+            else:
+                raise NotImplementedError(
+                    "onnx_runtime_lite: Constant node "
+                    f"{node.outputs[0]!r} has no supported value attribute "
+                    f"(attrs: {sorted(a)})"
+                )
         elif node.op_type == "Clip":
             def _scalar(v):
                 return float(np.asarray(v).reshape(-1)[0])

@@ -68,6 +68,13 @@ def stack_layer_params(
     )
     if not idx:
         raise ValueError("no layers_<i> subtrees to stack")
+    found = [i for i, _ in idx]
+    if found != list(range(len(idx))):
+        raise ValueError(
+            "layers_<i> indices are not contiguous from 0 "
+            f"(found {found}); a gapped tree would silently restack "
+            "under renumbered group identities"
+        )
     groups = [params[k] for _, k in idx]
     treedefs = {jax.tree_util.tree_structure(g) for g in groups}
     if len(treedefs) != 1:

@@ -19,15 +19,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import FSDP_AXIS
 
 
-def fsdp_spec(shape, fsdp_size: int, min_size: int = 2**12) -> P:
+def fsdp_spec(
+    shape, fsdp_size: int, min_size: int = 2**12, exclude_axes: tuple = ()
+) -> P:
     """PartitionSpec sharding the largest fsdp-divisible axis, else replicated.
 
     Tiny leaves (biases, norm scales) stay replicated — sharding them would
-    cost more collective latency than the bytes saved.
+    cost more collective latency than the bytes saved. `exclude_axes` keeps
+    named axes out of consideration: scan-stacked `layers_scan` leaves must
+    never shard their leading group axis, which `lax.scan` slices one group
+    per iteration — sharding it would turn every scan step into a cross-
+    device gather instead of one up-front all-gather of the weight shard.
     """
     if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
         return P()
-    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    order = sorted(
+        (i for i in range(len(shape)) if i not in exclude_axes),
+        key=lambda i: -shape[i],
+    )
     for axis in order:
         if shape[axis] % fsdp_size == 0:
             spec = [None] * len(shape)
@@ -36,11 +45,35 @@ def fsdp_spec(shape, fsdp_size: int, min_size: int = 2**12) -> P:
     return P()
 
 
+def _is_scan_stacked(path) -> bool:
+    """True when a tree_map_with_path key path crosses a `layers_scan`
+    subtree (DictKey in params/opt-moment dicts, GetAttrKey on dataclasses)."""
+    return any(
+        getattr(k, "key", None) == "layers_scan"
+        or getattr(k, "name", None) == "layers_scan"
+        for k in path
+    )
+
+
 def fsdp_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree for params under the mesh's fsdp axis."""
+    """NamedSharding pytree for params under the mesh's fsdp axis.
+
+    Leaves under a `layers_scan` subtree (scan-compressed group stacks,
+    models/scan_stack.py) exclude their leading group axis from sharding:
+    the non-group axes carry the per-layer weight geometry the partitioner
+    can all-gather once per use, exactly like the unrolled layout.
+    """
     fsdp_size = mesh.shape.get(FSDP_AXIS, 1)
-    return jax.tree_util.tree_map(
-        lambda p: NamedSharding(mesh, fsdp_spec(p.shape, fsdp_size)), params
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: NamedSharding(
+            mesh,
+            fsdp_spec(
+                p.shape,
+                fsdp_size,
+                exclude_axes=(0,) if _is_scan_stacked(path) else (),
+            ),
+        ),
+        params,
     )
 
 

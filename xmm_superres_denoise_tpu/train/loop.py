@@ -234,15 +234,21 @@ class Trainer:
             return replicate(self.mesh, state)
         from jax.sharding import NamedSharding
 
-        from ..parallel.sharding import fsdp_spec
+        from ..parallel.sharding import _is_scan_stacked, fsdp_spec
 
         fsdp_size = int(self.mesh.shape[FSDP_AXIS])
 
-        def put(leaf):
-            spec = fsdp_spec(np.shape(leaf), fsdp_size)
+        def put(path, leaf):
+            # scan-stacked leaves (params AND their optimizer moments, which
+            # mirror the param tree) never shard the leading group axis —
+            # lax.scan slices it per iteration (parallel/sharding.py).
+            spec = fsdp_spec(
+                np.shape(leaf), fsdp_size,
+                exclude_axes=(0,) if _is_scan_stacked(path) else (),
+            )
             return jax.device_put(leaf, NamedSharding(self.mesh, spec))
 
-        return jax.tree_util.tree_map(put, state)
+        return jax.tree_util.tree_map_with_path(put, state)
 
     def _make_collections(self, prefix: str, extended: bool):
         from ..metrics.collection import CORE_METRIC_NAMES
