@@ -160,15 +160,23 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
             in_channels=1, out_channels=1, num_filters=32, num_res_blocks=4,
             num_upsample=1,
         )
+    # "<name>f32" flavors (s2df32/xlaf32) run the SAME pipeline at f32 —
+    # the parity configuration that clears the <=1e-3 verify gate
+    # (infer/run_file.py engine contract); measured so the parity class
+    # has a real tiles/s (VERDICT r4 #1a).
+    dtype = jnp.bfloat16
+    if pipeline.endswith("f32"):
+        dtype = jnp.float32
+        pipeline = pipeline[:-3]
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 1)))
     x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 1)), jnp.bfloat16
+        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 1)), dtype
     )
 
     if pipeline == "fused":
         from xmm_superres_denoise_tpu.ops.pallas_rrdb import make_fast_rrdb_forward
 
-        forward = make_fast_rrdb_forward(model, params, dtype=jnp.bfloat16)
+        forward = make_fast_rrdb_forward(model, params, dtype=dtype)
     elif pipeline == "int8":
         from xmm_superres_denoise_tpu.ops.int8_forward import (
             make_int8_s2d_forward,
@@ -192,14 +200,14 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
             if isinstance(model, GeneratorRRDB_DN)
             else make_s2d_sr_forward
         )
-        forward = maker(model, params, dtype=jnp.bfloat16)
+        forward = maker(model, params, dtype=dtype)
     else:
-        bf16_params = jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.bfloat16), params
+        cast_params = jax.tree_util.tree_map(
+            lambda p: p.astype(dtype), params
         )
 
         def forward(x):
-            return jnp.clip(model.apply(bf16_params, x), 0.0, 1.0)
+            return jnp.clip(model.apply(cast_params, x), 0.0, 1.0)
 
     def chain_fn(x):
         def body(i, acc):
@@ -299,6 +307,11 @@ _child = None
 _timeouts = 0  # candidates killed at their budget (cold-compile signature)
 _hard_failures = 0  # candidates that raised/rc!=0 (framework signature)
 _last_resort_key = None  # set when the winner came from the last-resort path
+# DeNoise flagship (416->416) int8 number, measured after the SR sweep when
+# deadline remains: BASELINE's metric row says "SR+denoise", so the DN path
+# must be driver-visible or a DN regression is invisible (VERDICT r4 #5).
+_dn_result: float | None = None
+_dn_key = "dn-int8-b128"
 
 
 def _emit_result() -> None:
@@ -329,6 +342,11 @@ def _emit_result() -> None:
             if k not in ("failed", "unreachable")
         },
     }
+    if _dn_result is not None:
+        # DeNoise flagship (BASELINE "SR+denoise" metric row): measured on
+        # the same run so a DN-path regression is driver-visible.
+        payload["dn_tiles_per_sec"] = round(_dn_result, 2)
+        payload["dn_fidelity"] = _fidelity_class(_dn_key)
     if pipeline == "inline":
         # Honesty marker: no real candidate finished (e.g. fully cold
         # compile cache) and this is the single-warm-forward fallback,
@@ -383,10 +401,13 @@ def _emit_result() -> None:
 
 def _fidelity_class(pipeline: str) -> str:
     """Accuracy class of a candidate key, recorded next to the number."""
-    if pipeline.startswith("int8"):
+    if pipeline.startswith("int8") or pipeline.startswith("dn-int8"):
         return "int8-40dB"
     if pipeline in ("unreachable", "failed"):
         return "none"
+    if "f32" in pipeline:
+        # exact parity configuration (clears the <=1e-3 verify gate)
+        return "f32-parity"
     return "bf16"  # s2d/xla/fused/inline: bf16-rounded exact model
 
 
@@ -527,6 +548,41 @@ def _launch_candidates(deadline: float) -> None:
                 print(f"bench: {key} error: {e}", file=sys.stderr)
 
 
+def _dn_candidate(deadline: float) -> None:
+    """Measure the DeNoise flagship (dn-int8 b128) AFTER the SR sweep when
+    the deadline still has a realistic window. Informational: never displaces
+    the SR driver metric, only adds `dn_tiles_per_sec` to the payload."""
+    global _dn_result
+    if not _results:
+        return  # no SR result yet: leave the window to the last-resort path
+    remaining = deadline - time.monotonic() - _RESERVE_S
+    if remaining < 150.0:
+        print(
+            f"bench: skipping DN candidate ({remaining:.0f}s left)",
+            file=sys.stderr,
+        )
+        return
+    budget = min(PIPELINE_BUDGET_S, remaining)
+    try:
+        rc, out, err = _run_candidate("dn-int8", 128, budget)
+        if rc == 0:
+            _dn_result = float(out.strip().splitlines()[-1])
+            return
+        global _hard_failures
+        _hard_failures += 1
+        print(
+            f"bench: {_dn_key} failed: {err.decode(errors='replace')[-300:]}",
+            file=sys.stderr,
+        )
+    except subprocess.TimeoutExpired:
+        global _timeouts
+        _timeouts += 1
+        print(f"bench: {_dn_key} exceeded {budget:.0f}s", file=sys.stderr)
+    except Exception as e:
+        _hard_failures += 1
+        print(f"bench: {_dn_key} error: {e}", file=sys.stderr)
+
+
 def _last_resort_candidate(deadline: float) -> None:
     """No candidate finished (fully cold cache): measure the cheapest
     pipeline — the plain jitted bf16 forward at batch 8 has by far the
@@ -587,6 +643,7 @@ def main(install_handlers: bool = True) -> None:
             return
 
         _launch_candidates(deadline)
+        _dn_candidate(deadline)
         _last_resort_candidate(deadline)
 
         if not _results:

@@ -44,6 +44,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 MODEL = sys.argv[3] if len(sys.argv) > 3 else "rrdb_denoise"
+# optional 4th arg "diagnose": per-epoch grad-norm / param-delta / output-
+# saturation instrumentation merged into history.jsonl (the round-4
+# Restormer post-mortem evidence channel)
+DIAGNOSE = len(sys.argv) > 4 and sys.argv[4] == "diagnose"
 
 EXAMPLE = Path("/root/reference/data/example_data/sim")
 REPO = Path(__file__).resolve().parents[1]
@@ -159,10 +163,15 @@ def _run(work: Path) -> None:
     if MODEL == "restormer":
         from xmm_superres_denoise_tpu.config import RestormerCfg
 
+        # lr 1e-4 per the reference registry (res/configs/models.toml:63
+        # [restormer] learning_rate) — the round-4 run used 2e-4 (the
+        # transformer-zoo default), which doubled the overfit rate on the
+        # 4-sample example train split (docs/convergence_restormer/
+        # DIAGNOSIS.md)
         mc = ModelCfg(
             name="restormer", memory_efficient=True, batch_size=BATCH,
             model=RestormerCfg(base_model="restormer", dim=24),
-            optimizer=OptimizerCfg(learning_rate=2e-4),
+            optimizer=OptimizerCfg(learning_rate=1e-4),
         )
     elif MODEL in ("drct", "hat"):
         from xmm_superres_denoise_tpu.config import TransformerCfg
@@ -205,6 +214,62 @@ def _run(work: Path) -> None:
     loss = create_loss(sc_dict, loss_cfg)
     trainer = Trainer(mc, tc, dm, loss, metric_names=["psnr", "ssim"])
 
+    if DIAGNOSE:
+        # Per-epoch optimization forensics on ONE fixed train batch:
+        #   diag/grad_norm    global L2 of the loss gradient (updates alive?)
+        #   diag/param_delta  L2 of the epoch's parameter movement
+        #   diag/sat0,sat1    fraction of output pixels clamped at 0 / 1
+        # Cheap (one fwd+bwd per epoch) and decisive between "train loss
+        # froze because the optimizer converged on the tiny train split"
+        # and "the logged loss is cached/stale".
+        import numpy as np
+        import jax.numpy as jnp
+
+        fixed = next(iter(dm.loader("train", mesh=trainer.mesh, epoch=0)))
+        fixed = {k: jnp.asarray(v) for k, v in fixed.items()
+                 if k in ("lr", "hr")}
+
+        @jax.jit
+        def _grad_norm(p, lr_img, hr_img):
+            def scalar_loss(p):
+                preds = trainer._apply(p, lr_img).astype(jnp.float32)
+                return loss(preds, hr_img)
+
+            g = jax.grad(scalar_loss)(p)
+            return jnp.sqrt(
+                sum(jnp.vdot(x, x)
+                    for x in jax.tree_util.tree_leaves(g)).real
+            )
+
+        @jax.jit
+        def _saturation(p, lr_img):
+            preds = trainer._apply(p, lr_img)
+            return jnp.mean(preds <= 0.0), jnp.mean(preds >= 1.0)
+
+        prev_params = {"host": None}
+
+        def _diag(epoch, state):
+            gn = float(_grad_norm(state.params, fixed["lr"], fixed["hr"]))
+            s0, s1 = _saturation(state.params, fixed["lr"])
+            out = {"diag/grad_norm": gn, "diag/sat0": float(s0),
+                   "diag/sat1": float(s1)}
+            cur = jax.device_get(state.params)
+            if prev_params["host"] is not None:
+                out["diag/param_delta"] = float(
+                    np.sqrt(sum(
+                        float(np.sum((np.asarray(a, np.float64)
+                                      - np.asarray(b, np.float64)) ** 2))
+                        for a, b in zip(
+                            jax.tree_util.tree_leaves(cur),
+                            jax.tree_util.tree_leaves(prev_params["host"]),
+                        )
+                    ))
+                )
+            prev_params["host"] = cur
+            return out
+
+        trainer.epoch_callback = _diag
+
     t0 = time.perf_counter()
     result = trainer.fit(seed=0)
     dt = time.perf_counter() - t0
@@ -215,6 +280,18 @@ def _run(work: Path) -> None:
     # 6-image dataset: the torch-random_split remainder rule gives the
     # test partition 0 samples, so evaluate the best state on the val split.
     test_logs = trainer.test(extended=False, split="val")
+
+    # Persist the best trained params (flat npz) next to the history: the
+    # fidelity-class probes (scripts/device_fidelity_classes.py) measure
+    # bf16/int8 error on TRAINED weights, not random init.
+    if MODEL in ("esr_gen", "rrdb_denoise"):
+        from xmm_superres_denoise_tpu.train.checkpoints import save_params_npz
+
+        best_state, _ = trainer.ckpt.restore_best(
+            jax.device_get(trainer.init_state())
+        )
+        OUT.mkdir(parents=True, exist_ok=True)
+        save_params_npz(OUT / "best_params.npz", best_state.params)
 
     first = result.history[0]["val/loss"]
     best = result.best_val_loss
@@ -238,6 +315,21 @@ def _run(work: Path) -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     shutil.copy(trainer.ckpt.root / "history.jsonl",
                 OUT / "history.jsonl")
+    diagnosis = None
+    if DIAGNOSE and result.history and "diag/grad_norm" in result.history[0]:
+        gns = [h["diag/grad_norm"] for h in result.history]
+        deltas = [h.get("diag/param_delta") for h in result.history[1:]]
+        deltas = [d for d in deltas if d is not None]
+        diagnosis = {
+            "grad_norm_first": round(gns[0], 6),
+            "grad_norm_last": round(gns[-1], 6),
+            "grad_norm_min": round(min(gns), 6),
+            "param_delta_first": round(deltas[0], 6) if deltas else None,
+            "param_delta_last": round(deltas[-1], 6) if deltas else None,
+            "sat0_last": round(result.history[-1]["diag/sat0"], 6),
+            "sat1_last": round(result.history[-1]["diag/sat1"], 6),
+        }
+
     summary = {
         "epochs": n,
         "seconds": round(dt, 1),
@@ -249,6 +341,8 @@ def _run(work: Path) -> None:
         "val_final": {k: round(float(v), 6) for k, v in test_logs.items()},
         "metric_gains_vs_input": gains,
     }
+    if diagnosis is not None:
+        summary["diagnosis"] = diagnosis
     (OUT / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2), flush=True)
 

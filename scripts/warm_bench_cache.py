@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     candidates = list(bench.CANDIDATES)
     if args.lead_only:
         candidates = [candidates[0]]
+    else:
+        # the DN flagship candidate runs after the SR sweep in bench.main
+        # (payload field dn_tiles_per_sec) and needs warmth like the rest
+        candidates.append(("dn-int8", 128))
     # the last-resort pipeline must be warm too: it is what delivers when
     # everything else is cold, and it is not in CANDIDATES' warm set twice
     if ("xla", 8) not in candidates:

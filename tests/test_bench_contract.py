@@ -286,3 +286,28 @@ def test_apply_cache_config_sets_flag_when_unset(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == "/tmp/explicit"
     finally:
         jax.config.update("jax_compilation_cache_dir", prior)
+
+
+def test_dn_flagship_field_in_payload(monkeypatch, capsys):
+    """BASELINE's metric row is "SR+denoise": when the DN candidate
+    (dn-int8 b128) completes after the SR sweep, the payload carries
+    `dn_tiles_per_sec` + its fidelity class so DN regressions are
+    driver-visible (VERDICT r4 #5). The SR metric is never displaced."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_probe_backend", lambda deadline: True)
+    results = {"int8-b128": 148.0, "int8-b32": 142.0, "s2d-b32": 75.0,
+               "s2d-b8": 72.0, "xla-b8": 34.0, "dn-int8-b128": 160.5}
+
+    def fake_candidate(pipeline, batch, budget):
+        return 0, f"{results[f'{pipeline}-b{batch}']}\n".encode(), b""
+
+    monkeypatch.setattr(bench, "_run_candidate", fake_candidate)
+    bench.main()
+    out = capsys.readouterr()
+    lines = [l for l in out.out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["value"] == 148.0  # SR winner, not the DN number
+    assert payload["dn_tiles_per_sec"] == 160.5
+    assert payload["dn_fidelity"] == "int8-40dB"
+    assert "dn-int8-b128" not in payload["candidates"]  # SR table only

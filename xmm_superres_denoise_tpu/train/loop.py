@@ -198,6 +198,11 @@ class Trainer:
                 compute_dtype=self._compute_dtype,
             )
 
+        # Optional per-epoch diagnostics hook: callable(epoch, state) ->
+        # dict merged into that epoch's history entry (convergence-run
+        # instrumentation; None = off).
+        self.epoch_callback = None
+
         # Epoch image logging (reference ImageLogger, rebuilt — see
         # utils/imagelogger.py). Enabled via log_images_every_n_epochs > 0.
         self.image_logger = None
@@ -467,6 +472,13 @@ class Trainer:
 
             entry = {"epoch": epoch, "train/loss": train_loss, **val_logs,
                      "time_s": time.time() - t0}
+            if self.epoch_callback is not None:
+                # diagnostics hook (e.g. grad-norm / param-delta
+                # instrumentation, scripts/device_train_convergence.py):
+                # whatever dict it returns is merged into the history entry
+                extra = self.epoch_callback(epoch, state)
+                if extra:
+                    entry.update(extra)
             result.history.append(entry)
             self._append_history(entry)
             log.info(
