@@ -496,26 +496,37 @@ def _launch_floor(lead_duration: float, have_results: bool,
     return max(90.0, 0.8 * lead_duration)
 
 
-def _launch_candidates(deadline: float) -> None:
-    candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
+def _launch_candidates(deadline: float, candidates=None,
+                       first_is_lead: bool = True) -> None:
+    """Run a candidate list. Default: the full table. `main` splits the
+    sweep into primaries (int8) / confirmations (s2d/xla) so the DN
+    flagship candidate gets its window before the slower confirmations
+    instead of being starved at the deadline tail (VERDICT r4 #5)."""
+    if candidates is None:
+        candidates = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
     lead_duration = 0.0
     for idx, (pipeline, batch) in enumerate(candidates):
         key = f"{pipeline}-b{batch}"
+        is_lead = first_is_lead and idx == 0
+        # non-lead floors are keyed off a nonzero index (confirmation-run
+        # lists never contain the lead)
+        floor_idx = idx if first_is_lead else idx + 1
         # the lead candidate is the known winner: one retry on transient
         # FAILURE (tunnel hiccups observed) so it is never silently
         # dropped. A TIMEOUT is not transient — it means a cold compile
         # cache, and a retry restarts the same >budget compile from
         # scratch (observed round-3: 900 s + a 277 s retry, zero results).
-        attempts = 2 if idx == 0 else 1
+        attempts = 2 if is_lead else 1
         for attempt in range(attempts):
             reserve = _RESERVE_S if _results else _FALLBACK_RESERVE_S
-            if idx == 0 and not _results:
+            if is_lead and not _results:
                 # The lead candidate must always get a window: with a short
                 # XMMSR_BENCH_DEADLINE_S (<~330 s) a full 300 s fallback
                 # reserve would starve it entirely (ADVICE r3 #3).
                 reserve = min(reserve, 0.25 * DEADLINE_S)
             remaining = deadline - time.monotonic() - reserve
-            if remaining < _launch_floor(lead_duration, bool(_results), idx):
+            if remaining < _launch_floor(lead_duration, bool(_results),
+                                         floor_idx):
                 print(
                     f"bench: global deadline ({DEADLINE_S:.0f}s) reached "
                     f"before {key}; stopping with {len(_results)} result(s)",
@@ -528,7 +539,7 @@ def _launch_candidates(deadline: float) -> None:
                 rc, out, err = _run_candidate(pipeline, batch, budget)
                 if rc == 0:
                     _results[key] = float(out.strip().splitlines()[-1])
-                    if idx == 0:
+                    if is_lead:
                         lead_duration = time.monotonic() - t0
                     break
                 global _hard_failures
@@ -642,8 +653,13 @@ def main(install_handlers: bool = True) -> None:
             _emit_result()
             return
 
-        _launch_candidates(deadline)
+        # primaries (the int8 winner + its confirmation) first, then the
+        # DN flagship while a real window remains, then the slower s2d/xla
+        # confirmations with whatever deadline is left
+        full = list(CANDIDATES) + ([("fused", 8)] if TRY_FUSED else [])
+        _launch_candidates(deadline, full[:2])
         _dn_candidate(deadline)
+        _launch_candidates(deadline, full[2:], first_is_lead=False)
         _last_resort_candidate(deadline)
 
         if not _results:

@@ -134,7 +134,7 @@ def _run(work: Path) -> None:
     # task). SR geometry: 20 ks 1x LR, 100 ks 2x HR (XMM-SuperRes task).
     links = (
         [("20ks", "1x"), ("100ks", "2x")]
-        if MODEL in ("esr_gen", "drct", "hat")
+        if MODEL in ("esr_gen", "drct", "hat", "swinir", "swinfir")
         else [("20ks", "1x"), ("50ks", "1x")]
     )
     for exp, mult in links:
@@ -145,7 +145,7 @@ def _run(work: Path) -> None:
     mask = EXAMPLE / "detector_mask/1x/pn_mask_500_2000_detxy_1x.ds"
     mask2 = EXAMPLE / "detector_mask/2x/pn_mask_500_2000_detxy_2x.ds"
 
-    if MODEL in ("esr_gen", "drct", "hat"):
+    if MODEL in ("esr_gen", "drct", "hat", "swinir", "swinfir"):
         hr = HrDatasetCfg(exp=100, det_mask=mask2, clamp_max=0.0005584,
                           res=832)
     else:
@@ -173,14 +173,18 @@ def _run(work: Path) -> None:
             model=RestormerCfg(base_model="restormer", dim=24),
             optimizer=OptimizerCfg(learning_rate=1e-4),
         )
-    elif MODEL in ("drct", "hat"):
+    elif MODEL in ("drct", "hat", "swinir", "swinfir"):
         from xmm_superres_denoise_tpu.config import TransformerCfg
 
         # production transformer hparams (reference res/configs/models.toml
-        # [drct]/[hat]) through the round-4 scan-compressed single-chip path
+        # [swinfir]/[drct]/[hat]: img 416, window 16, embed 180, 6x[6,6],
+        # lr 2e-4). DRCT/HAT run through the round-4 scan-compressed
+        # single-chip path (their run-config default); SwinIR/SwinFIR train
+        # unrolled (scan_layers measured step-time-neutral for them,
+        # docs/TRAINING.md).
         mc = ModelCfg(
             name=MODEL, memory_efficient=True, batch_size=BATCH,
-            scan_layers=True,
+            scan_layers=MODEL in ("drct", "hat"),
             model=TransformerCfg(
                 base_model=MODEL, img_size=416, patch_size=1,
                 window_size=16, embed_dim=180, num_heads=[6] * 6,
@@ -205,7 +209,10 @@ def _run(work: Path) -> None:
     # zoo table trains exactly that at 243 ms/step).
     tc = TrainerCfg(epochs=EPOCHS, checkpoint_root=work / "ckpt",
                     precision=(
-                        "bf16" if MODEL in ("restormer", "drct", "hat") else "f32"
+                        "bf16"
+                        if MODEL in ("restormer", "drct", "hat",
+                                     "swinir", "swinfir")
+                        else "f32"
                     ),
                     mesh=MeshCfg(data=1))
     with open(REPO / "res/configs/loss_functions.toml", "rb") as f:
