@@ -209,6 +209,14 @@ def _run_pipeline(pipeline: str, batch: int) -> None:
         def forward(x):
             return jnp.clip(model.apply(cast_params, x), 0.0, 1.0)
 
+        if dtype == jnp.float32:
+            # parity class = TRUE f32 (TPU default precision would multiply
+            # in bf16 — ops/precision.py); measured so the configuration
+            # that clears the <=1e-3 verify gate has an honest tiles/s
+            from xmm_superres_denoise_tpu.ops.precision import true_f32
+
+            forward = true_f32(forward)
+
     def chain_fn(x):
         def body(i, acc):
             y = forward(x + acc.astype(x.dtype) * 1e-8)
@@ -330,8 +338,9 @@ def _emit_result() -> None:
         # Accuracy class of the measured pipeline (VERDICT r3 #7): the int8
         # w8a8 path is gated at >=40 dB PSNR vs the f32 reference forward
         # (~1% RMS, tests/test_int8_forward.py), NOT the 1e-3 parity class;
-        # the bf16 S2D/XLA paths hold 1e-3-grade parity with the f32 model
-        # (s2d exact-rearrangement + bf16 rounding); f32 is parity-grade.
+        # every recorded number self-describes its accuracy class; the
+        # classes are MEASURED on trained weights + real inputs
+        # (docs/fidelity_classes.json) — only true-f32 is parity-grade
         "fidelity": _fidelity_class(pipeline),
         # measured candidates only: pipeline/status sentinels ("failed",
         # "unreachable", "inline") are NOT throughput measurements and

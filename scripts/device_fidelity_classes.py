@@ -9,8 +9,12 @@ the max|abs diff| and PSNR of every serving pipeline against the f32
 reference forward — so each README/bench fidelity label is a number a
 probe actually established, not an assumed class:
 
-  * s2d-f32  : space-to-depth forward at f32 (exact rearrangement —
-               expected ~1e-7 reassociation noise; parity class)
+  * s2d-f32  : space-to-depth forward at TRUE f32 (exact rearrangement,
+               matmul precision "float32"; the parity class)
+  * xla-f32-default : the hardware's DEFAULT-precision "f32" (bf16 MXU
+               multiplies) — the first run of this probe caught it
+               6.6e-3 outside the parity bar, which is why every f32
+               path now traces under true_f32 (ops/precision.py)
   * s2d-bf16 : the bf16 serving path (README previously mislabeled this
                "1e-3-parity-grade"; bf16 mantissa near 1.0 is ~4e-3)
   * xla-bf16 : plain jitted forward with bf16 params/inputs
@@ -93,9 +97,16 @@ def main() -> None:
     ).astype(jnp.float32)
     print("inputs:", x.shape, "from", len(imgs), "files", flush=True)
 
-    # f32 reference forward (the parity configuration)
+    # TRUE-f32 reference forward (the parity configuration). On TPU the
+    # DEFAULT precision multiplies f32 convs in bf16 on the MXU — the first
+    # run of this probe measured two default-precision "f32" programs
+    # 6.6e-3 apart, both outside the 1e-3 parity bar — so the reference
+    # (and the engine's f32 mode, infer/run_file.py) traces under matmul
+    # precision "float32" (ops/precision.py).
+    from xmm_superres_denoise_tpu.ops.precision import true_f32
+
     ref_fwd = jax.jit(
-        lambda p, v: jnp.clip(model.apply(p, v), 0.0, 1.0)
+        true_f32(lambda p, v: jnp.clip(model.apply(p, v), 0.0, 1.0))
     )
     ref = np.asarray(ref_fwd(params, x), np.float64)
 
@@ -112,8 +123,14 @@ def main() -> None:
         )
 
     pipelines = {
+        # make_s2d_*_forward(dtype=f32) self-wraps in true_f32 — parity class
         "s2d-f32": jax.jit(make_s2d_sr_forward(model, params,
                                                dtype=jnp.float32)),
+        # the hardware's DEFAULT-precision f32 (bf16 MXU multiplies):
+        # recorded so the gap that forced true_f32 stays measured
+        "xla-f32-default": jax.jit(
+            lambda v: jnp.clip(model.apply(params, v), 0.0, 1.0)
+        ),
         "s2d-bf16": jax.jit(make_s2d_sr_forward(model, params,
                                                 dtype=jnp.bfloat16)),
         "xla-bf16": jax.jit(xla_bf16),

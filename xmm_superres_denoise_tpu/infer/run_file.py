@@ -167,6 +167,14 @@ class InferenceEngine:
             self._run_pred = None
         else:
             apply_fn = lambda p, x: model.apply(p, x.astype(dtype))
+            if dtype == jnp.float32:
+                # the parity configuration must be TRUE f32 on the serving
+                # hardware: TPU default-precision convs multiply in bf16
+                # (measured 6.6e-3 off the 1e-3 parity bar on trained
+                # weights — ops/precision.py)
+                from ..ops.precision import true_f32
+
+                apply_fn = true_f32(apply_fn)
             self._run = _make_run(apply_fn)
             self._run_pred = _make_run_pred(apply_fn)
 

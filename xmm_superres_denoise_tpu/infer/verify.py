@@ -108,7 +108,13 @@ def verify_onnx(
     )
     mask = load_det_mask(cfg.lr.det_mask) if cfg.lr.det_mask else None
 
+    # the gate is f32-vs-f32: trace under matmul precision "float32" so the
+    # TPU doesn't bf16-truncate the convs and fail the tolerance that the
+    # same program clears on CPU (ops/precision.py)
+    from ..ops.precision import true_f32
+
     @jax.jit
+    @true_f32
     def jax_forward(x):
         return jnp.clip(model.apply(params, x), 0.0, 1.0)
 

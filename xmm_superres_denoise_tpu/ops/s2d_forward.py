@@ -42,6 +42,18 @@ def _lrelu(x: Array, slope: float) -> Array:
     return jnp.where(x >= 0, x, slope * x)
 
 
+def _maybe_true_f32(forward, dtype):
+    """f32 here means the PARITY class: trace under matmul precision
+    "float32" so TPU convs don't silently multiply in bf16
+    (ops/precision.py — measured 6.6e-3 off the 1e-3 bar otherwise).
+    bf16 callers keep the default (fast) lowering."""
+    if dtype == jnp.float32:
+        from .precision import true_f32
+
+        return true_f32(forward)
+    return forward
+
+
 def _xform(entry: dict, times: int, dtype) -> tuple[Array, Array]:
     """Transform a Flax Conv param dict into the (repeated) S2D domain."""
     w = np.asarray(entry["kernel"], np.float32)
@@ -132,7 +144,7 @@ def make_s2d_sr_forward(model: GeneratorRRDB_SR, params, dtype=jnp.bfloat16):
         out = _conv(h, *conv_last)
         return jnp.clip(d2s(out), 0.0, 1.0)
 
-    return forward
+    return _maybe_true_f32(forward, dtype)
 
 
 def make_s2d_train_apply(model, remat: bool = False):
@@ -203,4 +215,4 @@ def make_s2d_dn_forward(model: GeneratorRRDB_DN, params, dtype=jnp.bfloat16):
         out = _conv(fea, *conv_last) + x4
         return jnp.clip(d2s(out), 0.0, 1.0)
 
-    return forward
+    return _maybe_true_f32(forward, dtype)
