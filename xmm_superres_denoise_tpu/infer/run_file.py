@@ -430,19 +430,40 @@ def serve_files(
 
     results: list = [None] * len(files)
     sub_cap = batch_size * 4  # a few pipelined chunks per resident stack
-    for idxs in groups.values():
-        for s in range(0, len(idxs), sub_cap):
-            sub = idxs[s : s + sub_cap]
-            metas = [load_rate_image(files[i]) for i in sub]
-            stack = np.stack([m[0] for m in metas])
-            preds, inps = engine.run_tiles(stack, batch_size=batch_size)
-            for j, i in enumerate(sub):
-                _, hdr, exposure = metas[j]
-                results[i] = write_products(
-                    inps[j], preds[j], out_path, files[i], exposure,
-                    hr_exp_ks, model_name, hdr, plot=plot,
-                    out_stem=stems[i],
-                )
+    # Product writes (WCS header build + gzip + disk) overlap the NEXT
+    # sub-batch's device work through a small writer pool: sustained-serve
+    # profiling showed the loop host-bound on exactly this serial tail
+    # (docs/SERVING.md "Sustained serving throughput"). Outstanding writes
+    # are drained each sub-batch, so peak host memory stays one sub-batch
+    # of products (the same bound the serial loop had).
+    from concurrent.futures import ThreadPoolExecutor
+
+    # matplotlib (the optional plot path) is not thread-safe — keep plots
+    # on a single writer thread; the overlap with device work remains.
+    with ThreadPoolExecutor(max_workers=1 if plot else 4) as pool:
+        pending: list = []
+        for idxs in groups.values():
+            for s in range(0, len(idxs), sub_cap):
+                sub = idxs[s : s + sub_cap]
+                metas = [load_rate_image(files[i]) for i in sub]
+                stack = np.stack([m[0] for m in metas])
+                preds, inps = engine.run_tiles(stack, batch_size=batch_size)
+                for i, fut in pending:  # previous sub-batch's writes
+                    results[i] = fut.result()
+                pending = [
+                    (
+                        i,
+                        pool.submit(
+                            write_products,
+                            inps[j], preds[j], out_path, files[i],
+                            metas[j][2], hr_exp_ks, model_name, metas[j][1],
+                            plot=plot, out_stem=stems[i],
+                        ),
+                    )
+                    for j, i in enumerate(sub)
+                ]
+        for i, fut in pending:
+            results[i] = fut.result()
     return results
 
 
