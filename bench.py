@@ -415,9 +415,13 @@ def _fidelity_class(pipeline: str) -> str:
     if pipeline in ("unreachable", "failed"):
         return "none"
     if "f32" in pipeline:
-        # exact parity configuration (clears the <=1e-3 verify gate)
+        # true-f32 parity configuration (ops/precision.py): measured
+        # 4.8e-7 max|diff| / 150.6 dB vs the f32 forward on trained
+        # weights + real inputs (docs/fidelity_classes.json)
         return "f32-parity"
-    return "bf16"  # s2d/xla/fused/inline: bf16-rounded exact model
+    # s2d/xla/fused/inline bf16 paths: measured 60.3/59.9 dB PSNR vs the
+    # true-f32 forward on trained weights (docs/fidelity_classes.json)
+    return "bf16-60dB"
 
 
 def _handle_term(signum, frame) -> None:
