@@ -53,7 +53,10 @@ class InferenceEngine:
     ):
         """`dtype=jnp.bfloat16` runs the model body in bf16 (params cast once;
         normalization/denormalization stay f32 for product fidelity) — the
-        serving configuration. f32 (default) is the parity configuration.
+        serving configuration. f32 (default) is the parity configuration:
+        it traces at matmul precision "float32" (TRUE f32 even on TPU,
+        where the default precision would multiply in bf16 —
+        ops/precision.py; measured classes in docs/fidelity_classes.json).
 
         `quantize=True` serves the RRDB models through the statically
         calibrated w8a8 space-to-depth path (`ops/int8_forward.py`, ~1.8x
