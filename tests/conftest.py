@@ -19,6 +19,19 @@ import jax
 try:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # Test-private persistent-compile-cache dir. The suite segfaulted
+    # (round 5, jax compilation_cache.get_executable_and_time) reading the
+    # repo-shared .jit_cache while a concurrent device job wrote it — the
+    # "concurrent-JAX suite abort" flake documented in round 4. CPU test
+    # compiles are small; isolation matters more than warmth. Set FIRST so
+    # cli.py's apply_cache_config (which never overrides an explicit
+    # setting) keeps the private dir.
+    import tempfile
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        tempfile.mkdtemp(prefix="xmmsr_test_jitcache_"),
+    )
 except RuntimeError as e:  # backend already initialized (site-hook touch)
     # Don't abort the whole collection: only the sharding/mesh tests need
     # the 8-device fabric, and they assert the device count themselves.
