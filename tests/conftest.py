@@ -19,19 +19,25 @@ import jax
 try:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-    # Test-private persistent-compile-cache dir. The suite segfaulted
-    # (round 5, jax compilation_cache.get_executable_and_time) reading the
-    # repo-shared .jit_cache while a concurrent device job wrote it — the
-    # "concurrent-JAX suite abort" flake documented in round 4. CPU test
-    # compiles are small; isolation matters more than warmth. Set FIRST so
-    # cli.py's apply_cache_config (which never overrides an explicit
-    # setting) keeps the private dir.
+    # Neutralize the persistent compile cache for tests. Round-5 forensics:
+    # full-suite runs segfaulted DETERMINISTICALLY in jax-0.9.0's
+    # compilation_cache.get_executable_and_time while DESERIALIZING a cache
+    # entry the same suite run had written minutes earlier (crash site
+    # test_scan_layers_fsdp_fit_and_resume's DRCT init on the 8-device CPU
+    # mesh; the same test passes in isolation). Two levers, both needed:
+    # a test-private dir (set FIRST so cli.py's apply_cache_config — which
+    # never overrides an explicit setting — cannot adopt the repo-shared
+    # .jit_cache a concurrent device job may be writing), and a huge
+    # min-compile-time so NOTHING is ever written: an empty cache makes
+    # every lookup a miss, and the crashing deserialization path can never
+    # execute. In-memory jit caching is unaffected.
     import tempfile
 
     jax.config.update(
         "jax_compilation_cache_dir",
         tempfile.mkdtemp(prefix="xmmsr_test_jitcache_"),
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 except RuntimeError as e:  # backend already initialized (site-hook touch)
     # Don't abort the whole collection: only the sharding/mesh tests need
     # the 8-device fabric, and they assert the device count themselves.
